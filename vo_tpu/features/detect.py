@@ -1,0 +1,93 @@
+"""Corner detection + NMS + deterministic fixed-K selection, batched on device.
+
+The TPU-native replacement for cv2.ORB_create().detect / SIFT DoG extrema
+(feature_extractors/ORB.py:17, SIFT.py:12): a Harris/Shi-Tomasi response map from
+MXU-friendly convolutions, 2-D max-pool NMS (same trick the reference's R2D2 NMS uses,
+R2D2.py:84-99), then ``lax.top_k`` to a **fixed** keypoint budget with a validity mask —
+no dynamic shapes anywhere, so the whole detector jits, vmaps over frames, and shards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.ops.image import (
+    gaussian_blur,
+    sobel_gradients,
+    maxpool2d_same,
+)
+
+
+def _structure_tensor(gray: jnp.ndarray, sigma_d: float, sigma_i: float):
+    """Per-pixel 2x2 gradient covariance (Ixx, Iyy, Ixy), smoothed."""
+    g = gaussian_blur(gray, sigma_d)
+    gx, gy = sobel_gradients(g)
+    ixx = gaussian_blur(gx * gx, sigma_i)
+    iyy = gaussian_blur(gy * gy, sigma_i)
+    ixy = gaussian_blur(gx * gy, sigma_i)
+    return ixx, iyy, ixy
+
+
+def harris_response(gray: jnp.ndarray, k: float = 0.04,
+                    sigma_d: float = 1.0, sigma_i: float = 1.5) -> jnp.ndarray:
+    """Harris corner response det(M) - k tr(M)^2 over (B, H, W) grayscale."""
+    ixx, iyy, ixy = _structure_tensor(gray, sigma_d, sigma_i)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    return det - k * tr * tr
+
+
+def shi_tomasi_response(gray: jnp.ndarray, sigma_d: float = 1.0,
+                        sigma_i: float = 1.5) -> jnp.ndarray:
+    """Min-eigenvalue (Shi-Tomasi) response over (B, H, W)."""
+    ixx, iyy, ixy = _structure_tensor(gray, sigma_d, sigma_i)
+    half_tr = 0.5 * (ixx + iyy)
+    disc = jnp.sqrt(jnp.maximum(half_tr * half_tr - (ixx * iyy - ixy * ixy), 0.0))
+    return half_tr - disc
+
+
+@partial(jax.jit, static_argnames=("max_kp", "nms_size", "border"))
+def detect_keypoints(
+    response: jnp.ndarray,
+    max_kp: int = 2048,
+    nms_size: int = 5,
+    rel_threshold: float = 1e-4,
+    border: int = 16,
+):
+    """Select the top ``max_kp`` NMS-surviving response peaks per image.
+
+    Args:
+      response: (B, H, W) corner response map.
+      max_kp: fixed keypoint budget (pad bucket; SURVEY.md §7 "variable keypoint counts").
+      nms_size: odd side of the non-max suppression window.
+      rel_threshold: keep peaks with response > rel_threshold * per-image max.
+      border: suppress detections within this margin (descriptor patch must fit).
+    Returns:
+      kp: (B, max_kp, 2) float32 [x, y] pixel coords (0 where invalid).
+      score: (B, max_kp) response values.
+      valid: (B, max_kp) bool mask.
+    Deterministic: ties broken by flattened pixel order via top_k's stable ordering.
+    """
+    B, H, W = response.shape
+    is_peak = response >= maxpool2d_same(response, nms_size)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1)
+    in_border = ((col >= border) & (col < W - border) &
+                 (row >= border) & (row < H - border))
+
+    per_img_max = jnp.max(jnp.abs(response), axis=(1, 2), keepdims=True)
+    strong = response > rel_threshold * per_img_max
+
+    masked = jnp.where(is_peak & in_border & strong, response, -jnp.inf)
+    flat = masked.reshape(B, H * W)
+    score, idx = jax.lax.top_k(flat, max_kp)
+    y = (idx // W).astype(jnp.float32)
+    x = (idx % W).astype(jnp.float32)
+    valid = jnp.isfinite(score)
+    kp = jnp.stack([jnp.where(valid, x, 0.0), jnp.where(valid, y, 0.0)], axis=-1)
+    score = jnp.where(valid, score, 0.0)
+    return kp, score, valid

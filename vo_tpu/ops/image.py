@@ -1,0 +1,121 @@
+"""Batched image primitives on XLA: grayscale, separable blurs, gradients, pooling,
+bilinear sampling.
+
+These are the TPU-native replacements for the OpenCV image plumbing the reference leans
+on (cv2.cvtColor in vo_stereo_runner.py:54 / ORB.py:15, the max-pool NMS in R2D2.py:84,
+GaussianBlur inside cv2's ORB/SIFT). Convolutions are expressed with
+``lax.conv_general_dilated`` so XLA maps them onto the MXU; everything takes (B, H, W) or
+(B, H, W, C) and vmaps/shards over the batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) uint8/float RGB -> (..., H, W) float32 grayscale in [0, 255].
+
+    Uses the same ITU-R BT.601 luma weights as OpenCV's RGB2GRAY so brightness-dependent
+    thresholds behave comparably.
+    """
+    img = img.astype(jnp.float32)
+    return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+
+
+def _conv1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Depthwise 1-D convolution along H (axis=1) or W (axis=2) of (B, H, W), SAME padding."""
+    B, H, W = img.shape
+    x = img[:, None, :, :]  # (B, C=1, H, W)
+    k = kernel.reshape((1, 1, -1, 1) if axis == 1 else (1, 1, 1, -1)).astype(img.dtype)
+    pad = (kernel.shape[0] - 1) // 2
+    padding = [(pad, pad), (0, 0)] if axis == 1 else [(0, 0), (pad, pad)]
+    out = lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[:, 0]
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
+    """Separable Gaussian blur over (B, H, W)."""
+    k = gaussian_kernel1d(sigma, radius)
+    return _conv1d(_conv1d(img, k, axis=1), k, axis=2)
+
+
+def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable box (mean) filter over (B, H, W)."""
+    k = jnp.full((size,), 1.0 / size, dtype=jnp.float32)
+    return _conv1d(_conv1d(img, k, axis=1), k, axis=2)
+
+
+def sobel_gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sobel dx, dy over (B, H, W) via separable [1 2 1] x [-1 0 1] kernels."""
+    smooth = jnp.array([1.0, 2.0, 1.0], dtype=jnp.float32)
+    diff = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
+    gx = _conv1d(_conv1d(img, smooth, axis=1), diff, axis=2)
+    gy = _conv1d(_conv1d(img, diff, axis=1), smooth, axis=2)
+    return gx, gy
+
+
+def maxpool2d_same(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """size x size max pool, stride 1, SAME — the NMS building block (cf. R2D2.py:84)."""
+    pad = (size - 1) // 2
+    return lax.reduce_window(
+        img, -jnp.inf, lax.max,
+        window_dimensions=(1, size, size), window_strides=(1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad)),
+    )
+
+
+def avgpool2d(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """size x size average pool with stride == size (downsampling)."""
+    out = lax.reduce_window(
+        img, 0.0, lax.add,
+        window_dimensions=(1, size, size), window_strides=(1, size, size),
+        padding="VALID",
+    )
+    return out / float(size * size)
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinearly sample (H, W) image at (N, 2) [x, y] float locations (clamped border).
+
+    The gather backbone for descriptor patch sampling. vmap over a batch axis for
+    (B, H, W) + (B, N, 2).
+    """
+    H, W = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of (B, H, W) or (B, H, W, C) via jax.image (XLA-fused)."""
+    if img.ndim == 3:
+        B, H, W = img.shape
+        return jax.image.resize(img, (B, *out_hw), method="bilinear")
+    B, H, W, C = img.shape
+    return jax.image.resize(img, (B, *out_hw, C), method="bilinear")
