@@ -1,0 +1,91 @@
+"""Benchmark: full RGB-D VO pipeline throughput on one chip, KITTI-sized frames.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Workload: 64 synthetic KITTI-resolution (376 x 1232) RGB-D frames through the complete
+pipeline — batched Harris+BRIEF extraction (2048-kp budget), keypoint back-projection,
+and the scan engine (descriptor GEMM matching + 512-hypothesis PnP-RANSAC + keyframe
+state machine). Timing excludes compilation (one warm-up run) and synthetic rendering,
+includes host->device transfer of frames.
+
+Baseline: the reference publishes no frames/s (BASELINE.md); its per-frame wall-clock
+prints put the R2D2 pipeline around ~10 fps on the authors' GPU. vs_baseline is
+fps / 10.0 against that estimate; the build target is >10x (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vo_tpu.engine.pipeline import extract_and_backproject
+    from vo_tpu.engine.vo import VOConfig, VOEngine
+    from vo_tpu.estimation.pnp import PnPConfig
+    from vo_tpu.features.extractor import OrbLikeExtractor
+    from vo_tpu.utils.synthetic import render_sequence
+
+    F, H, W = 64, 376, 1232
+    EXTRACT_BATCH = 16
+    K = np.array([[721.53, 0.0, 609.55], [0.0, 721.53, 172.85], [0.0, 0.0, 1.0]],
+                 np.float32)
+
+    imgs, deps, gt = render_sequence(F, K, H=H, W=W, step=0.8, yaw_rate=0.004)
+
+    extractor = OrbLikeExtractor(max_kp=2048)
+    engine = VOEngine(VOConfig(matcher="ratio_binary",
+                               pnp=PnPConfig(n_hypotheses=512)))
+    Kj = jnp.asarray(K)
+
+    def run(imgs_np, deps_np):
+        feats_chunks, kp3d_chunks = [], []
+        for s in range(0, F, EXTRACT_BATCH):
+            fi = jnp.asarray(imgs_np[s:s + EXTRACT_BATCH])
+            di = jnp.asarray(deps_np[s:s + EXTRACT_BATCH])
+            f, k3 = extract_and_backproject(extractor, fi, di, Kj)
+            feats_chunks.append(f)
+            kp3d_chunks.append(k3)
+        kp = jnp.concatenate([f.kp for f in feats_chunks])
+        desc = jnp.concatenate([f.desc for f in feats_chunks])
+        valid = jnp.concatenate([f.valid for f in feats_chunks])
+        kp3d = jnp.concatenate(kp3d_chunks)
+        poses, diag = engine.run_sequence(kp, desc, valid, kp3d, Kj)
+        return jax.block_until_ready(poses), diag
+
+    # Warm-up (compile both stages).
+    poses, diag = run(imgs, deps)
+
+    # Timed runs.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        poses, diag = run(imgs, deps)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    fps = F / dt
+
+    # Sanity: the benchmark only counts if the trajectory is sane.
+    err = np.linalg.norm(np.asarray(poses)[:, :3, 3] - gt[:, :3, 3], axis=1)
+    accept = float(np.mean(np.asarray(diag.accepted)))
+    sane = bool(err[-1] < 0.10 * 0.8 * F and accept > 0.8)
+
+    print(json.dumps({
+        "metric": "vo_frames_per_sec_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s (376x1232 rgbd, 2048 kp, full pipeline)",
+        "vs_baseline": round(fps / 10.0, 2),
+        "trajectory_sane": sane,
+        "final_drift_m": round(float(err[-1]), 3),
+        "accept_rate": round(accept, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""End-to-end VO test: synthetic RGB-D drive -> full pipeline -> trajectory accuracy.
+
+This is the acceptance-style test the reference never had (SURVEY.md §4): exact ground
+truth from the synthetic renderer, scored with the same evaluator used for KITTI.
+"""
+
+import numpy as np
+import pytest
+
+from vo_tpu.engine import VOConfig
+from vo_tpu.engine.pipeline import run_offline_vo
+from vo_tpu.estimation import PnPConfig
+from vo_tpu.evalkit import KittiOdomEvaluator
+from vo_tpu.features import OrbLikeExtractor
+from vo_tpu.utils.synthetic import render_sequence
+
+K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def synth_run():
+    imgs, deps, traj_gt = render_sequence(24, K, H=240, W=320, step=0.8, yaw_rate=0.01)
+    cfg = VOConfig(
+        matcher="ratio_binary",
+        kf_min_matches=60,   # small synthetic budget: rescaled keyframe gates
+        kf_min_inliers=30,
+        pnp=PnPConfig(min_inliers=15, n_hypotheses=256),
+    )
+    extractor = OrbLikeExtractor(max_kp=512)
+    poses, diag = run_offline_vo(imgs, deps, K, vo_config=cfg, extractor=extractor)
+    return poses, diag, traj_gt
+
+
+class TestEndToEnd:
+    def test_trajectory_close_to_gt(self, synth_run):
+        poses, diag, gt = synth_run
+        # Per-frame position error against exact GT (camera-to-world convention both).
+        err = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+        total = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+        assert err[-1] < 0.05 * total, f"final drift {err[-1]:.3f} m over {total:.1f} m"
+        assert np.median(err) < 0.03 * total
+
+    def test_eval_metrics_reasonable(self, synth_run):
+        poses, _, gt = synth_run
+        res = KittiOdomEvaluator().evaluate(gt, poses)
+        assert res.rpe_trans < 0.08
+        assert res.ate_over_dist < 0.6  # reference's own KITTI number is 11.7
+
+    def test_most_frames_accepted(self, synth_run):
+        _, diag, _ = synth_run
+        assert diag.accepted.mean() > 0.9
+        assert diag.n_inliers[diag.accepted].min() >= 15
+
+    def test_pose_hold_on_garbage_frame(self):
+        imgs, deps, traj_gt = render_sequence(8, K, H=240, W=320, step=0.8)
+        rng = np.random.default_rng(0)
+        imgs[4] = rng.uniform(0, 255, imgs[4].shape)  # destroy one frame
+        deps[4] = 0.0
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        poses, diag = run_offline_vo(imgs, deps, K, vo_config=cfg,
+                                     extractor=OrbLikeExtractor(max_kp=512))
+        assert not diag.accepted[3]          # frame index 4 => diag row 3
+        # held pose == the active keyframe's pose (pose-hold fallback, ref :290)
+        assert any(np.allclose(poses[4], poses[i], atol=1e-5) for i in range(4))

@@ -1,0 +1,240 @@
+"""Vectorized PnP-RANSAC on device — the TPU-native replacement for
+``cv2.solvePnPRansac`` (VisualOdometry_Stereo.py:129).
+
+The OpenCV call is a serial C++ RANSAC with data-dependent control flow. Here the whole
+solver is fixed-shape XLA (SURVEY.md §7 "hard parts"):
+
+1. H hypothesis minimal sets are drawn at once from a PRNG key — a (H, m) gather.
+2. Hypothesis poses come from two batched closed-form banks:
+   - 6-point normalized DLT (12x12 eigh -> projection matrix -> nearest rotation) for
+     the general 3D-2D case, and
+   - 3-point Kabsch on 3D-3D correspondences whenever the current frame also carries
+     depth (the rgbd regime of the reference). Road scenes are plane-dominated and a
+     coplanar 6-point sample makes the DLT degenerate; the 3-point rigid alignment only
+     fails on collinear samples, so mixing the banks keeps RANSAC robust where OpenCV's
+     iterative P3P was.
+3. All hypotheses score all N correspondences in one fused reprojection + masked count
+   (H x N), the RANSAC hot kernel.
+4. The best hypothesis (lax.top_k over counts) seeds a fixed-iteration reweighted
+   Gauss-Newton refinement over SE(3) — masked weights instead of inlier gathers, so
+   shapes never change.
+
+Returns a fixed-shape ``PnPResult``; "failure" is a flag, not an exception, so the VO
+engine can lax.cond on it (mirroring the reference's try/except + pose-hold fallback,
+VisualOdometry_Stereo.py:268-290).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.estimation.procrustes import kabsch
+from vo_tpu.geometry.se3 import pose_from_rt, se3_exp
+from vo_tpu.geometry.so3 import hat
+
+
+@dataclass(frozen=True)
+class PnPConfig:
+    n_hypotheses: int = 512       # reference loops 3 x 100 OpenCV iters (:120,:129); we
+                                  # evaluate 512 minimal sets in one shot
+    sample_size: int = 6          # DLT minimal-ish set
+    reproj_threshold: float = 1.5  # px, same as the reference (:129)
+    min_inliers: int = 20         # acceptance gate (:132)
+    gn_iterations: int = 10       # refinement steps on the winning hypothesis
+    min_depth: float = 1e-3       # points must be in front of the camera
+
+    def __hash__(self):
+        return hash((self.n_hypotheses, self.sample_size, self.reproj_threshold,
+                     self.min_inliers, self.gn_iterations, self.min_depth))
+
+
+class PnPResult(NamedTuple):
+    pose: jnp.ndarray       # (4, 4) object(keyframe-cam) -> current-cam transform
+    inliers: jnp.ndarray    # (N,) bool at the refined pose
+    n_inliers: jnp.ndarray  # () int32
+    ok: jnp.ndarray         # () bool: n_inliers > min_inliers
+
+
+def _sample_indices(key, valid: jnp.ndarray, n_hyp: int, m: int) -> jnp.ndarray:
+    """(n_hyp, m) indices drawn uniformly from the valid entries (with replacement).
+
+    Valid entries are compacted to the front via argsort(~valid) (stable), then indexed
+    by uniform draws in [0, n_valid) — fixed-shape and deterministic given the key.
+    """
+    n = valid.shape[0]
+    order = jnp.argsort(~valid)  # valid indices first, stable
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    u = jax.random.uniform(key, (n_hyp, m))
+    slot = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    return order[slot]
+
+
+def _dlt_pose(X: jnp.ndarray, x_norm: jnp.ndarray) -> jnp.ndarray:
+    """Pose from m>=6 correspondences via normalized DLT.
+
+    Args:
+      X: (m, 3) object points; x_norm: (m, 2) normalized image coords (K^-1 applied).
+    Returns:
+      (4, 4) pose; vmapped over hypotheses.
+    """
+    m = X.shape[0]
+    # Condition: center/scale object points.
+    c = X.mean(axis=0)
+    scale = jnp.sqrt(jnp.mean(jnp.sum((X - c) ** 2, axis=-1))) + 1e-9
+    Xn = (X - c) / scale
+    Xh = jnp.concatenate([Xn, jnp.ones((m, 1))], axis=-1)  # (m, 4)
+
+    zeros = jnp.zeros_like(Xh)
+    u = x_norm[:, 0:1]
+    v = x_norm[:, 1:2]
+    rows_u = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1)  # (m, 12)
+    rows_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2m, 12)
+
+    # Null vector of A via eigh of A^T A (12x12) — cheaper and TPU-stabler than SVD of A.
+    AtA = A.T @ A
+    _, evecs = jnp.linalg.eigh(AtA)
+    p = evecs[:, 0]  # eigenvector of smallest eigenvalue
+    P = p.reshape(3, 4)
+
+    # Undo conditioning: X' = (X - c)/s  =>  P_full = P @ [[I/s, -c/s], [0, 1]]
+    T = jnp.eye(4).at[:3, :3].divide(scale).at[:3, 3].set(-c / scale)
+    P = P @ T
+
+    M = P[:, :3]
+    sign = jnp.sign(jnp.linalg.det(M))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    P = P * sign
+    M = P[:, :3]
+    # Nearest rotation + isotropic scale.
+    U, S, Vt = jnp.linalg.svd(M)
+    R = U @ Vt
+    s = jnp.mean(S) + 1e-12
+    t = P[:, 3] / s
+    return pose_from_rt(R, t)
+
+
+def _reproject_residuals(pose, X, x_px, K):
+    """(..., N) pixel residual norms + camera-frame depth for masking."""
+    R = pose[..., :3, :3]
+    t = pose[..., :3, 3]
+    Y = jnp.einsum("...ij,nj->...ni", R, X) + t[..., None, :]
+    z = Y[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * Y[..., 0] / z_safe + K[0, 2]
+    v = K[1, 1] * Y[..., 1] / z_safe + K[1, 2]
+    res = jnp.sqrt((u - x_px[..., :, 0]) ** 2 + (v - x_px[..., :, 1]) ** 2)
+    return res, z
+
+
+def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig):
+    """Fixed-iteration reweighted Gauss-Newton over SE(3), masked — no gathers."""
+
+    fx, fy = K[0, 0], K[1, 1]
+
+    def step(pose, _):
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        Y = X @ R.T + t  # (N, 3) camera-frame
+        z = Y[:, 2]
+        z_ok = z > cfg.min_depth
+        z_safe = jnp.where(z_ok, z, 1.0)
+        u = fx * Y[:, 0] / z_safe + K[0, 2]
+        v = fy * Y[:, 1] / z_safe + K[1, 2]
+        r = jnp.stack([u - x_px[:, 0], v - x_px[:, 1]], axis=-1)  # (N, 2)
+        res_norm = jnp.linalg.norm(r, axis=-1)
+        w = (valid & z_ok & (res_norm < cfg.reproj_threshold)).astype(jnp.float32)
+
+        # d(uv)/dY (N, 2, 3)
+        zinv = 1.0 / z_safe
+        zero = jnp.zeros_like(zinv)
+        J_proj = jnp.stack([
+            jnp.stack([fx * zinv, zero, -fx * Y[:, 0] * zinv * zinv], axis=-1),
+            jnp.stack([zero, fy * zinv, -fy * Y[:, 1] * zinv * zinv], axis=-1),
+        ], axis=-2)
+        # dY/dxi = [I | -hat(Y)]  (N, 3, 6)
+        eye = jnp.broadcast_to(jnp.eye(3), (Y.shape[0], 3, 3))
+        J_pose = jnp.concatenate([eye, -hat(Y)], axis=-1)
+        J = J_proj @ J_pose  # (N, 2, 6)
+
+        JTJ = jnp.einsum("nik,nij,n->kj", J, J, w) + 1e-6 * jnp.eye(6)
+        JTr = jnp.einsum("nik,ni,n->k", J, r, w)
+        delta = -jnp.linalg.solve(JTJ, JTr)
+        # Don't move if there is nothing to fit.
+        delta = jnp.where(jnp.sum(w) >= 4, delta, jnp.zeros(6))
+        return se3_exp(delta) @ pose, None
+
+    pose, _ = jax.lax.scan(step, pose0, None, length=cfg.gn_iterations)
+    return pose
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pnp_ransac(
+    key: jax.Array,
+    points_3d: jnp.ndarray,
+    points_2d: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: PnPConfig = PnPConfig(),
+    points_3d_cur: jnp.ndarray | None = None,
+    valid_cur: jnp.ndarray | None = None,
+) -> PnPResult:
+    """Estimate the object->camera pose from fixed-budget 3D-2D correspondences.
+
+    Args:
+      key: PRNG key for hypothesis sampling (pass a fold_in of the frame id for
+           reproducible per-frame draws, cf. the reference's global seed 8214).
+      points_3d: (N, 3) keyframe-camera-frame points (zero rows where invalid).
+      points_2d: (N, 2) current-frame pixels.
+      valid: (N,) mask (depth gate & match mask — VisualOdometry_Stereo.py:100-105).
+      K: (3, 3) intrinsics.
+      points_3d_cur: optional (N, 3) current-camera-frame points at the same
+           correspondences (rgbd regime). Enables the 3-point Kabsch hypothesis bank.
+      valid_cur: (N,) depth-validity for points_3d_cur.
+    """
+    N = points_3d.shape[0]
+    x_norm = jnp.stack([
+        (points_2d[:, 0] - K[0, 2]) / K[0, 0],
+        (points_2d[:, 1] - K[1, 2]) / K[1, 1],
+    ], axis=-1)
+
+    if points_3d_cur is None:
+        idx = _sample_indices(key, valid, cfg.n_hypotheses, cfg.sample_size)
+        hyp_poses = jax.vmap(_dlt_pose)(points_3d[idx], x_norm[idx])  # (H, 4, 4)
+    else:
+        # Split the budget: Kabsch 3-point bank (plane-safe) + DLT bank (depth-noise-safe).
+        n_kab = (3 * cfg.n_hypotheses) // 4
+        n_dlt = cfg.n_hypotheses - n_kab
+        v_cur = valid & (valid_cur if valid_cur is not None else True)
+        k1, k2 = jax.random.split(key)
+        idx_k = _sample_indices(k1, v_cur, n_kab, 3)
+        hyp_kab = kabsch(points_3d[idx_k], points_3d_cur[idx_k])
+        idx_d = _sample_indices(k2, valid, n_dlt, cfg.sample_size)
+        hyp_dlt = jax.vmap(_dlt_pose)(points_3d[idx_d], x_norm[idx_d])
+        hyp_poses = jnp.concatenate([hyp_kab, hyp_dlt], axis=0)
+
+    res, z = _reproject_residuals(hyp_poses, points_3d, points_2d, K)  # (H, N)
+    inl = (res < cfg.reproj_threshold) & (z > cfg.min_depth) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    pose0 = hyp_poses[best]
+
+    pose = _gn_refine(pose0, points_3d, points_2d, valid, K, cfg)
+
+    res_f, z_f = _reproject_residuals(pose, points_3d, points_2d, K)
+    inliers = (res_f < cfg.reproj_threshold) & (z_f > cfg.min_depth) & valid
+    n_inliers = jnp.sum(inliers).astype(jnp.int32)
+    # Keep whichever of {refined, best hypothesis} scores higher (refinement can
+    # occasionally diverge on degenerate sets; the reference keeps best-of-3 similarly).
+    better = n_inliers >= counts[best]
+    pose = jnp.where(better, pose, pose0)
+    inliers = jnp.where(better, inliers, inl[best])
+    n_inliers = jnp.maximum(n_inliers, counts[best]).astype(jnp.int32)
+
+    ok = n_inliers > cfg.min_inliers
+    return PnPResult(pose=pose, inliers=inliers, n_inliers=n_inliers, ok=ok)

@@ -1,0 +1,122 @@
+"""Synthetic textured RGB-D world renderer — exact ground truth for end-to-end tests.
+
+The reference has no test data beyond a committed trajectory; KITTI imagery is not
+shipped. This renderer produces geometrically-consistent (image, depth) pairs from any
+camera pose over a multi-plane textured world, so the full
+extract -> match -> PnP -> chain pipeline can be scored against exact ground truth
+(SURVEY.md §4 "create the test pyramid the reference lacks").
+
+World: ground plane + two side walls + a far wall (non-coplanar scene, so PnP's DLT is
+well-conditioned). Texture: seeded band-limited sum of sinusoids — smooth but rich in
+Harris corners. Pure numpy on purpose: runs at fixture-build time, keeps the device free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Plane:
+    p0: np.ndarray      # a point on the plane
+    n: np.ndarray       # unit normal (pointing toward typical viewers)
+    tex_seed: int
+
+    def texture(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        rng = np.random.default_rng(self.tex_seed)
+        val = np.zeros_like(u)
+        for _ in range(40):
+            w = rng.uniform(0.3, 6.0, 2)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(5, 25)
+            val = val + amp * np.sin(w[0] * u + w[1] * v + phase)
+        return 128.0 + val * 0.45
+
+
+def default_world(seed: int = 8214) -> list[Plane]:
+    return [
+        Plane(p0=np.array([0.0, 1.6, 0.0]), n=np.array([0.0, -1.0, 0.0]), tex_seed=seed + 1),   # ground
+        Plane(p0=np.array([-8.0, 0.0, 0.0]), n=np.array([1.0, 0.0, 0.0]), tex_seed=seed + 2),   # left wall
+        Plane(p0=np.array([8.0, 0.0, 0.0]), n=np.array([-1.0, 0.0, 0.0]), tex_seed=seed + 3),   # right wall
+        Plane(p0=np.array([0.0, 0.0, 120.0]), n=np.array([0.0, 0.0, -1.0]), tex_seed=seed + 4),  # far wall
+    ]
+
+
+def _plane_axes(n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(n, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    return u, v
+
+
+def render_rgbd(
+    T_wc: np.ndarray,
+    K: np.ndarray,
+    H: int = 240,
+    W: int = 320,
+    world: list[Plane] | None = None,
+    max_depth: float = 200.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ray-cast the plane world from camera-to-world pose ``T_wc``.
+
+    Returns (gray (H, W) float32 in [0,255], depth (H, W) float32 camera-frame z).
+    """
+    if world is None:
+        world = default_world()
+    Kinv = np.linalg.inv(K)
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1)            # (H, W, 3)
+    dirs_cam = pix @ Kinv.T                                         # z-component == 1
+    R_wc = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    dirs_w = dirs_cam @ R_wc.T                                      # (H, W, 3)
+
+    depth = np.full((H, W), np.inf)
+    img = np.full((H, W), 40.0)
+    for pl in world:
+        denom = dirs_w @ pl.n
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = ((pl.p0 - o) @ pl.n) / denom                            # (H, W); == z_cam
+        hit = (t > 0.1) & (t < max_depth) & (t < depth)
+        X = o + t[..., None] * dirs_w
+        ax_u, ax_v = _plane_axes(pl.n)
+        u = (X - pl.p0) @ ax_u
+        v = (X - pl.p0) @ ax_v
+        tex = pl.texture(u, v)
+        img = np.where(hit, tex, img)
+        depth = np.where(hit, t, depth)
+
+    depth = np.where(np.isinf(depth), 0.0, depth)                   # 0 = invalid, like KITTI npy
+    return np.clip(img, 0, 255).astype(np.float32), depth.astype(np.float32)
+
+
+def drive_trajectory(n_frames: int, step: float = 0.8, yaw_rate: float = 0.004) -> np.ndarray:
+    """(F, 4, 4) camera-to-world poses: forward motion with a slow constant turn."""
+    poses = np.zeros((n_frames, 4, 4))
+    yaw = 0.0
+    pos = np.zeros(3)
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos
+        poses[i, 3, 3] = 1.0
+        pos = pos + R @ np.array([0.0, 0.0, step])
+        yaw += yaw_rate * step
+    return poses
+
+
+def render_sequence(n_frames: int, K: np.ndarray, H: int = 240, W: int = 320,
+                    step: float = 0.8, yaw_rate: float = 0.004,
+                    world: list[Plane] | None = None):
+    """Render a full synthetic drive. Returns (gray (F,H,W), depth (F,H,W), T_wc (F,4,4))."""
+    traj = drive_trajectory(n_frames, step=step, yaw_rate=yaw_rate)
+    imgs, deps = [], []
+    for T in traj:
+        g, d = render_rgbd(T, K, H=H, W=W, world=world)
+        imgs.append(g)
+        deps.append(d)
+    return np.stack(imgs), np.stack(deps), traj
