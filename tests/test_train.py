@@ -1,0 +1,110 @@
+"""Training-stack tests: pair synthesis geometry, loss behavior, end-to-end steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vo_tpu.models.patchnet import FAST_QUAD_L2NET_CONFCFS, QUAD_L2NET_CONFCFS
+from vo_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    train_step,
+    synthetic_pair_batch,
+    random_homography,
+    warp_pair,
+    cosim_loss,
+    peaky_loss,
+    ap_reliability_loss,
+)
+from vo_tpu.train.trainer import save_checkpoint, load_checkpoint
+
+
+class TestPairs:
+    def test_flow_consistency(self):
+        """img2 sampled back through flow must match img1 where valid."""
+        key = jax.random.key(0)
+        img1, img2, flow, mask = synthetic_pair_batch(key, 2, 96, 96)
+        img1, img2, flow, mask = map(np.asarray, (img1, img2, flow, mask))
+        for b in range(2):
+            ys, xs = np.nonzero(mask[b])
+            sel = slice(0, len(ys), 37)
+            ys, xs = ys[sel], xs[sel]
+            tx = flow[b, ys, xs, 0]
+            ty = flow[b, ys, xs, 1]
+            xi = np.clip(np.round(tx).astype(int), 0, 95)
+            yi = np.clip(np.round(ty).astype(int), 0, 95)
+            v1 = img1[b, ys, xs]
+            v2 = img2[b, yi, xi]
+            # bilinear + rounding tolerance on smooth textures
+            assert np.median(np.abs(v1 - v2)) < 6.0
+
+    def test_identity_homography(self):
+        img = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (64, 64)).astype(np.float32))
+        img2, flow, mask = warp_pair(img, jnp.eye(3))
+        assert np.allclose(np.asarray(img2), np.asarray(img), atol=1e-3)
+        gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+        assert np.allclose(np.asarray(flow)[..., 0], gx, atol=1e-4)
+        assert np.asarray(mask).all()
+
+    def test_homography_invertible(self):
+        Hm = np.asarray(random_homography(jax.random.key(3), 128, 128))
+        assert abs(np.linalg.det(Hm)) > 1e-3
+
+
+class TestLosses:
+    def test_peaky_prefers_peaks(self, rng):
+        flat = jnp.full((1, 64, 64), 0.5)
+        peaked = jnp.zeros((1, 64, 64)).at[:, ::8, ::8].set(1.0)
+        assert float(peaky_loss(peaked)) < float(peaky_loss(flat))
+
+    def test_cosim_identity_flow_zero(self, rng):
+        rep = jnp.asarray(rng.uniform(0, 1, (2, 64, 64)).astype(np.float32))
+        gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+        flow = jnp.asarray(np.stack([gx, gy], -1)[None].repeat(2, 0).astype(np.float32))
+        mask = jnp.ones((2, 64, 64), bool)
+        assert float(cosim_loss(rep, rep, flow, mask)) < 1e-5
+
+    def test_ap_loss_good_vs_bad_descriptors(self, rng):
+        B, H, W, D = 1, 64, 64, 32
+        gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+        flow = jnp.asarray(np.stack([gx, gy], -1)[None].astype(np.float32))
+        mask = jnp.ones((B, H, W), bool)
+        rel = jnp.full((B, H, W), 0.9)
+        # good: distinctive per-pixel descriptors identical across views
+        d = rng.normal(size=(B, H, W, D)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        good = float(ap_reliability_loss(jnp.asarray(d), jnp.asarray(d), rel, flow, mask))
+        # bad: all descriptors identical -> no discrimination
+        same = np.ones((B, H, W, D), np.float32) / np.sqrt(D)
+        bad = float(ap_reliability_loss(jnp.asarray(same), jnp.asarray(same), rel, flow, mask))
+        assert good < bad
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        # Same key every step -> same pair batch -> loss must strictly improve.
+        cfg = TrainConfig(batch=2, height=96, width=96)
+        spec = FAST_QUAD_L2NET_CONFCFS
+        state = create_train_state(spec, cfg)
+        key = jax.random.key(1)
+        losses = []
+        for i in range(8):
+            state, metrics = train_step(state, key, spec, cfg)
+            losses.append(float(metrics["total"]))
+            assert not bool(metrics["skipped"])
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 8
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = TrainConfig(batch=2, height=96, width=96)
+        spec = FAST_QUAD_L2NET_CONFCFS
+        state = create_train_state(spec, cfg)
+        state, _ = train_step(state, jax.random.key(0), spec, cfg)
+        p = str(tmp_path / "ckpt.pkl")
+        save_checkpoint(p, state, spec.name)
+        restored = load_checkpoint(p, state)
+        assert int(restored.step) == int(state.step)
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        assert np.allclose(np.asarray(a), np.asarray(b))

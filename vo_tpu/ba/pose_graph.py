@@ -1,0 +1,100 @@
+"""Pose-graph optimization (PGO) — SE(3) relative-constraint smoothing on device.
+
+New capability vs the reference (which chains poses open-loop and never corrects them,
+VisualOdometry_Stereo.py:283,292). Nodes are camera-to-world poses; edges carry measured
+relative transforms Z_ij ~ T_i^-1 T_j (odometry and/or loop closures).
+
+Gauss-Newton with right-multiplicative perturbations T_k <- T_k exp(xi_k), residual
+e_ij = log(Z_ij^-1 T_i^-1 T_j), first-order Jacobians J_j = I, J_i = -Ad(T_j^-1 T_i).
+Fixed iterations, LM damping, node 0 gauge-fixed, dense (6N, 6N) reduced solve
+(windowed N <= ~64; a CG path can replace the dense solve for full-trajectory PGO).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.geometry.se3 import pose_inverse, se3_exp, se3_log
+from vo_tpu.geometry.so3 import hat
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    iterations: int = 20
+    damping: float = 1e-6
+    fix_first: bool = True
+
+    def __hash__(self):
+        return hash((self.iterations, self.damping, self.fix_first))
+
+
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint for twist order [v, w]: (..., 6, 6)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, hat(t) @ R], axis=-1)
+    bot = jnp.concatenate([Z, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_nodes"))
+def optimize_pose_graph(
+    poses: jnp.ndarray,        # (N, 4, 4) camera-to-world initial estimates
+    edges_ij: jnp.ndarray,     # (E, 2) int32 node indices
+    edges_z: jnp.ndarray,      # (E, 4, 4) measured relative transforms T_i^-1 T_j
+    edges_w: jnp.ndarray,      # (E,) scalar information weights (0 disables an edge)
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    n_nodes: int | None = None,
+):
+    """Returns (optimized poses (N, 4, 4), per-iteration cost (iters,))."""
+    N = n_nodes if n_nodes is not None else poses.shape[0]
+    E = edges_ij.shape[0]
+    ii = edges_ij[:, 0]
+    jj = edges_ij[:, 1]
+    z_inv = pose_inverse(edges_z)
+
+    def residuals(T):
+        Ti_inv = pose_inverse(T[ii])
+        rel = Ti_inv @ T[jj]
+        return se3_log(z_inv @ rel), rel                      # (E, 6)
+
+    def iteration(T, _):
+        e, rel = residuals(T)
+        cost = jnp.sum(edges_w * jnp.sum(e * e, axis=-1))
+
+        Jj = jnp.broadcast_to(jnp.eye(6), (E, 6, 6))
+        Ji = -adjoint(pose_inverse(rel))
+
+        w = edges_w[:, None, None]
+        # Dense block assembly via segment_sum on (i*N + j) block ids.
+        Hii = jnp.swapaxes(Ji, -1, -2) @ (w * Ji)
+        Hjj = jnp.swapaxes(Jj, -1, -2) @ (w * Jj)
+        Hij = jnp.swapaxes(Ji, -1, -2) @ (w * Jj)
+        bi = -jnp.einsum("eab,ea->eb", w * Ji, e)
+        bj = -jnp.einsum("eab,ea->eb", w * Jj, e)
+
+        blocks = jnp.concatenate([Hii, Hjj, Hij, jnp.swapaxes(Hij, -1, -2)], axis=0)
+        ids = jnp.concatenate([ii * N + ii, jj * N + jj, ii * N + jj, jj * N + ii])
+        Hgrid = jax.ops.segment_sum(blocks, ids, num_segments=N * N)
+        H = Hgrid.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+
+        bvec = jax.ops.segment_sum(jnp.concatenate([bi, bj], axis=0),
+                                   jnp.concatenate([ii, jj]), num_segments=N)
+        g = bvec.reshape(6 * N)
+
+        H = H + cfg.damping * jnp.eye(6 * N) + 1e-8 * jnp.eye(6 * N)
+        if cfg.fix_first:
+            mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (N - 1))])
+            H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+            g = g * mask
+        delta = jnp.linalg.solve(H, g).reshape(N, 6)
+        T_new = jax.vmap(lambda Tk, d: Tk @ se3_exp(d))(T, delta)
+        return T_new, cost
+
+    T_opt, costs = jax.lax.scan(iteration, poses, None, length=cfg.iterations)
+    return T_opt, costs

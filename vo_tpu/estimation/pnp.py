@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from vo_tpu.estimation.procrustes import kabsch
 from vo_tpu.geometry.se3 import pose_from_rt, se3_exp
 from vo_tpu.geometry.so3 import hat
+from vo_tpu.ops.smalllinalg import smallest_eigvec, solve_spd_small, svd3x3
 
 
 @dataclass(frozen=True)
@@ -96,10 +97,10 @@ def _dlt_pose(X: jnp.ndarray, x_norm: jnp.ndarray) -> jnp.ndarray:
     rows_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2m, 12)
 
-    # Null vector of A via eigh of A^T A (12x12) — cheaper and TPU-stabler than SVD of A.
+    # Null vector of A^T A via unrolled inverse iteration (vo_tpu.ops.smalllinalg) —
+    # lax.linalg.eigh on batched 12x12s is orders of magnitude slower on TPU.
     AtA = A.T @ A
-    _, evecs = jnp.linalg.eigh(AtA)
-    p = evecs[:, 0]  # eigenvector of smallest eigenvalue
+    p = smallest_eigvec(AtA, 12)
     P = p.reshape(3, 4)
 
     # Undo conditioning: X' = (X - c)/s  =>  P_full = P @ [[I/s, -c/s], [0, 1]]
@@ -111,8 +112,8 @@ def _dlt_pose(X: jnp.ndarray, x_norm: jnp.ndarray) -> jnp.ndarray:
     sign = jnp.where(sign == 0, 1.0, sign)
     P = P * sign
     M = P[:, :3]
-    # Nearest rotation + isotropic scale.
-    U, S, Vt = jnp.linalg.svd(M)
+    # Nearest rotation + isotropic scale (closed-form 3x3 SVD).
+    U, S, Vt = svd3x3(M)
     R = U @ Vt
     s = jnp.mean(S) + 1e-12
     t = P[:, 3] / s
@@ -164,7 +165,7 @@ def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig):
 
         JTJ = jnp.einsum("nik,nij,n->kj", J, J, w) + 1e-6 * jnp.eye(6)
         JTr = jnp.einsum("nik,ni,n->k", J, r, w)
-        delta = -jnp.linalg.solve(JTJ, JTr)
+        delta = -solve_spd_small(JTJ, JTr, 6)
         # Don't move if there is nothing to fit.
         delta = jnp.where(jnp.sum(w) >= 4, delta, jnp.zeros(6))
         return se3_exp(delta) @ pose, None

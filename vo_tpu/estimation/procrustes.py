@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vo_tpu.geometry.se3 import pose_from_rt
+from vo_tpu.ops.smalllinalg import svd3x3
 
 
 def kabsch(A: jnp.ndarray, B: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -28,7 +29,9 @@ def kabsch(A: jnp.ndarray, B: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.
     A0 = A - ca[..., None, :]
     B0 = B - cb[..., None, :]
     H = jnp.einsum("...mi,...mj,...m->...ij", A0, B0, w)
-    U, _, Vt = jnp.linalg.svd(H)
+    # Closed-form 3x3 SVD (vo_tpu.ops.smalllinalg): XLA's iterative lax.linalg.svd
+    # serializes badly for tiny batched matrices on TPU.
+    U, _, Vt = svd3x3(H)
     # Proper rotation (det +1): flip the smallest singular direction if needed.
     det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
     D = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), H.shape).copy()

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from vo_tpu.features.brief import oriented_brief_descriptors, BRIEF_BITS
+from vo_tpu.features.dense_brief import upright_brief_descriptors
 from vo_tpu.features.detect import detect_keypoints, harris_response, shi_tomasi_response
 from vo_tpu.ops.image import rgb_to_gray
 
@@ -42,6 +43,9 @@ class OrbLikeExtractor:
     border: int = 21  # >= brief patch radius + 1
     bits: int = BRIEF_BITS
     response: str = "harris"  # 'harris' | 'shi_tomasi'
+    oriented: bool = False    # True: rotation-steered patch BRIEF (slower, gather-heavy)
+                              # False: upright dense-packed BRIEF (TPU fast path)
+    descriptor: str = "brief"  # 'brief' (binary ±1) | 'gradhist' (SIFT-style float)
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, images: jnp.ndarray) -> Features:
@@ -59,11 +63,18 @@ class OrbLikeExtractor:
             resp, max_kp=self.max_kp, nms_size=self.nms_size,
             rel_threshold=self.rel_threshold, border=self.border,
         )
-        desc = jax.vmap(
-            lambda g, k, v: oriented_brief_descriptors(g, k, v, bits=self.bits)
-        )(gray, kp, valid)
+        if self.descriptor == "gradhist":
+            from vo_tpu.features.gradhist import gradhist_descriptors
+
+            desc = gradhist_descriptors(gray, kp, valid)
+        elif self.oriented:
+            desc = jax.vmap(
+                lambda g, k, v: oriented_brief_descriptors(g, k, v, bits=self.bits)
+            )(gray, kp, valid)
+        else:
+            desc = upright_brief_descriptors(gray, kp, valid, bits=self.bits)
         return Features(kp=kp, desc=desc, score=score, valid=valid)
 
     def __hash__(self):
         return hash((self.max_kp, self.nms_size, self.rel_threshold, self.border,
-                     self.bits, self.response))
+                     self.bits, self.response, self.oriented, self.descriptor))

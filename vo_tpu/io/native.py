@@ -1,0 +1,114 @@
+"""ctypes bindings for the native prefetching RGB-D loader (native/vo_loader.cpp).
+
+Falls back cleanly when the shared library hasn't been built; callers use
+``native_available()`` / ``NativeRGBDSequence.try_open`` and keep the pure-Python
+``RGBDSequence`` as the portable path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libvoloader.so"),
+    os.path.join(os.path.dirname(__file__), "libvoloader.so"),
+]
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.vol_open.restype = ctypes.c_void_p
+            lib.vol_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+            lib.vol_meta.restype = ctypes.c_int
+            lib.vol_meta.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int)] * 3
+            lib.vol_next.restype = ctypes.c_int
+            lib.vol_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.vol_close.restype = None
+            lib.vol_close.argtypes = [ctypes.c_void_p]
+            _lib = lib
+            return lib
+    return None
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+class NativeRGBDSequence:
+    """Streaming reader over (*.png, *_depth.npy) pairs with C++ decode + prefetch."""
+
+    def __init__(self, handle, lib, n_frames, H, W):
+        self._h = handle
+        self._lib = lib
+        self.n_frames = n_frames
+        self.H = H
+        self.W = W
+        self._emitted = 0
+
+    @classmethod
+    def try_open(cls, img_dir: str, prefetch_depth: int = 8,
+                 n_threads: int = 0) -> "NativeRGBDSequence | None":
+        lib = _load_lib()
+        if lib is None:
+            return None
+        h = lib.vol_open(img_dir.encode(), prefetch_depth, n_threads)
+        if not h:
+            return None
+        n = ctypes.c_int()
+        H = ctypes.c_int()
+        W = ctypes.c_int()
+        lib.vol_meta(h, ctypes.byref(n), ctypes.byref(H), ctypes.byref(W))
+        return cls(h, lib, n.value, H.value, W.value)
+
+    def __len__(self):
+        return self.n_frames
+
+    def next_frame(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Sequential read: (rgb uint8 (H, W, 3), depth f32 (H, W)) or None at end.
+
+        Raises RuntimeError on a decode failure (corrupt frame)."""
+        if self._emitted >= self.n_frames:
+            return None
+        rgb = np.empty((self.H, self.W, 3), np.uint8)
+        depth = np.empty((self.H, self.W), np.float32)
+        rc = self._lib.vol_next(
+            self._h,
+            rgb.ctypes.data_as(ctypes.c_void_p),
+            depth.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc == -2:
+            return None
+        if rc != 0:
+            raise RuntimeError(f"native loader: decode failure rc={rc} "
+                               f"at frame {self._emitted}")
+        self._emitted += 1
+        return rgb, depth
+
+    def __iter__(self):
+        while True:
+            fr = self.next_frame()
+            if fr is None:
+                return
+            yield fr
+
+    def close(self):
+        if self._h:
+            self._lib.vol_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -28,17 +28,24 @@ def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Depthwise 1-D convolution along H (axis=1) or W (axis=2) of (B, H, W), SAME padding."""
-    B, H, W = img.shape
-    x = img[:, None, :, :]  # (B, C=1, H, W)
-    k = kernel.reshape((1, 1, -1, 1) if axis == 1 else (1, 1, 1, -1)).astype(img.dtype)
-    pad = (kernel.shape[0] - 1) // 2
-    padding = [(pad, pad), (0, 0)] if axis == 1 else [(0, 0), (pad, pad)]
-    out = lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[:, 0]
+    """Depthwise 1-D convolution along H (axis=1) or W (axis=2) of (B, H, W), SAME.
+
+    Implemented as shift-and-add (k static taps of padded slices) instead of
+    lax.conv: single-channel convs map terribly onto the TPU MXU (C=1 wastes the
+    systolic array and forces layout transposes — measured 2s/batch16), while k
+    shifted fused multiply-adds are pure VPU traffic (~ms).
+    """
+    k = kernel.shape[0]
+    pad = (k - 1) // 2
+    pad_spec = [(0, 0), (0, 0), (0, 0)]
+    pad_spec[axis] = (pad, pad)
+    xp = jnp.pad(img, pad_spec, mode="constant")
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        sl = [slice(None)] * 3
+        sl[axis] = slice(i, i + img.shape[axis])
+        out = out + kernel[i] * xp[tuple(sl)]
+    return out
 
 
 def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:

@@ -1,0 +1,72 @@
+"""R2D2-style self-supervised training CLI — counterpart of the reference's train.py.
+
+    python -m vo_tpu.runners.train_r2d2 --steps 2000 --save-path out.ckpt
+    python -m vo_tpu.runners.train_r2d2 --resume out.ckpt --steps 1000
+
+Differences from the reference (train.py:72-136): no eval()-based config — plain flags;
+pair synthesis is on-device (no CPU dataloader); checkpoints carry optimizer state and
+step so --resume continues exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from vo_tpu.models.patchnet import FAST_QUAD_L2NET_CONFCFS, QUAD_L2NET_CONFCFS
+from vo_tpu.train import TrainConfig, create_train_state, train_step
+from vo_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+ARCHS = {
+    "fast_quad": FAST_QUAD_L2NET_CONFCFS,
+    "quad": QUAD_L2NET_CONFCFS,
+}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--arch", choices=sorted(ARCHS), default="fast_quad")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, nargs=2, default=(192, 192))
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--save-path", default="r2d2_tpu.ckpt")
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--save-every", type=int, default=500)
+    args = ap.parse_args(argv)
+
+    spec = ARCHS[args.arch]
+    cfg = TrainConfig(batch=args.batch, height=args.hw[0], width=args.hw[1], lr=args.lr)
+    state = create_train_state(spec, cfg)
+    if args.resume and os.path.exists(args.resume):
+        state = load_checkpoint(args.resume, state)
+        print(f"[train] resumed from {args.resume} at step {int(state.step)}")
+
+    key = jax.random.key(cfg.seed)
+    t0 = time.time()
+    ema = None
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, sub, spec, cfg)
+        loss = float(metrics["total"])
+        ema = loss if ema is None else 0.95 * ema + 0.05 * loss
+        step = int(state.step)
+        if step % args.log_every == 0:
+            rate = (i + 1) * cfg.batch / (time.time() - t0)
+            print(f"[train] step {step} loss {loss:.4f} (ema {ema:.4f}) "
+                  f"ap {float(metrics['ap']):.4f} cosim {float(metrics['cosim']):.4f} "
+                  f"peaky {float(metrics['peaky']):.4f} | {rate:.1f} img/s")
+        if step % args.save_every == 0:
+            save_checkpoint(args.save_path, state, spec.name)
+    save_checkpoint(args.save_path, state, spec.name)
+    print(f"[train] saved {args.save_path} at step {int(state.step)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,8 +27,10 @@ from vo_tpu.io.poses import kitti_gt_to_modified_txt, save_poses_npy
 
 
 def build_extractor(cfg: RunConfig):
-    if cfg.feature_extractor in ("orb", "sift"):
+    if cfg.feature_extractor == "orb":
         return OrbLikeExtractor(max_kp=cfg.max_keypoints)
+    if cfg.feature_extractor == "sift":
+        return OrbLikeExtractor(max_kp=cfg.max_keypoints, descriptor="gradhist")
     if cfg.feature_extractor == "r2d2":
         from vo_tpu.models.r2d2_extractor import R2D2Extractor
 
@@ -44,18 +46,40 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     cfg = RunConfig.from_yaml(args.config)
-    seq = RGBDSequence.from_dir(cfg.image_path)
-    n = len(seq)
-    if args.limit:
-        n = min(n, args.limit)
-    if n == 0:
-        print(f"no (*.png, *_depth.npy) pairs under {cfg.image_path!r}", file=sys.stderr)
-        return 2
 
-    print(f"[vo_tpu] {n} frames from {cfg.image_path}")
-    imgs, deps = zip(*(seq[i] for i in range(n)))
-    imgs = np.stack(imgs)
-    deps = np.stack(deps)
+    # Prefer the native C++ decode+prefetch loader when built (native/vo_loader.cpp);
+    # fall back to the PIL-based reader.
+    from vo_tpu.io.native import NativeRGBDSequence
+
+    nat = NativeRGBDSequence.try_open(cfg.image_path) if cfg.image_path else None
+    if nat is not None:
+        n = len(nat)
+        if args.limit:
+            n = min(n, args.limit)
+        if n == 0:
+            print(f"no (*.png, *_depth.npy) pairs under {cfg.image_path!r}",
+                  file=sys.stderr)
+            return 2
+        print(f"[vo_tpu] {n} frames from {cfg.image_path} (native loader)")
+        pairs = []
+        for _ in range(n):
+            pairs.append(nat.next_frame())
+        nat.close()
+        imgs = np.stack([p[0] for p in pairs])
+        deps = np.stack([p[1] for p in pairs])
+    else:
+        seq = RGBDSequence.from_dir(cfg.image_path)
+        n = len(seq)
+        if args.limit:
+            n = min(n, args.limit)
+        if n == 0:
+            print(f"no (*.png, *_depth.npy) pairs under {cfg.image_path!r}",
+                  file=sys.stderr)
+            return 2
+        print(f"[vo_tpu] {n} frames from {cfg.image_path}")
+        imgs, deps = zip(*(seq[i] for i in range(n)))
+        imgs = np.stack(imgs)
+        deps = np.stack(deps)
 
     extractor = build_extractor(cfg)
     t0 = time.time()
