@@ -46,6 +46,14 @@ class OrbLikeExtractor:
     oriented: bool = False    # True: rotation-steered patch BRIEF (slower, gather-heavy)
                               # False: upright dense-packed BRIEF (TPU fast path)
     descriptor: str = "brief"  # 'brief' (binary ±1) | 'gradhist' (SIFT-style float)
+    brief_impl: str = "auto"   # 'auto' | 'pallas' | 'xla' — dense-BRIEF backend.
+                               # 'auto' currently resolves to XLA everywhere: on the
+                               # available v5e toolchain the compiled Pallas kernel
+                               # mis-lowers a subset of the unaligned VMEM slices
+                               # (interpret-mode parity is exact; see
+                               # tests/test_pallas_kernels.py) and XLA's own fusion of
+                               # the shift-compare chain is already bandwidth-optimal
+                               # (~3.3 ms/frame at 376x1232).
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, images: jnp.ndarray) -> Features:
@@ -71,10 +79,18 @@ class OrbLikeExtractor:
             desc = jax.vmap(
                 lambda g, k, v: oriented_brief_descriptors(g, k, v, bits=self.bits)
             )(gray, kp, valid)
+        elif self._use_pallas():
+            from vo_tpu.ops.pallas_brief import upright_brief_descriptors_pallas
+
+            desc = upright_brief_descriptors_pallas(gray, kp, valid, bits=self.bits)
         else:
             desc = upright_brief_descriptors(gray, kp, valid, bits=self.bits)
         return Features(kp=kp, desc=desc, score=score, valid=valid)
 
+    def _use_pallas(self) -> bool:
+        return self.brief_impl == "pallas"
+
     def __hash__(self):
         return hash((self.max_kp, self.nms_size, self.rel_threshold, self.border,
-                     self.bits, self.response, self.oriented, self.descriptor))
+                     self.bits, self.response, self.oriented, self.descriptor,
+                     self.brief_impl))

@@ -181,5 +181,8 @@ def smallest_eigvec(AtA: jnp.ndarray, n: int, iters: int = 8) -> jnp.ndarray:
     x = jnp.ones(AtA.shape[:-2] + (n,), AtA.dtype)
     for _ in range(iters):
         x = cho_solve_small(L, x, n)
+        # Two-stage normalization: max-abs prescale keeps norm^2 finite in f32 even
+        # when a near-singular solve amplifies x by ~1e12 per iteration.
+        x = x / jnp.max(jnp.abs(x), axis=-1, keepdims=True).clip(_EPS)
         x = x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(_EPS)
     return x
