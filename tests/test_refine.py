@@ -1,0 +1,41 @@
+"""BA trajectory refinement: must improve a perturbed VO trajectory."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vo_tpu.engine.pipeline import extract_and_backproject
+from vo_tpu.engine.refine import RefineConfig, refine_trajectory
+from vo_tpu.features import OrbLikeExtractor
+from vo_tpu.geometry import so3_exp, pose_from_rt
+from vo_tpu.utils.synthetic import render_sequence
+
+K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
+
+
+def test_refinement_reduces_pose_error(rng):
+    imgs, deps, gt = render_sequence(12, K, H=240, W=320, step=0.8, yaw_rate=0.01)
+    ex = OrbLikeExtractor(max_kp=512)
+    feats, kp3d = extract_and_backproject(ex, jnp.asarray(imgs), jnp.asarray(deps),
+                                          jnp.asarray(K))
+    # Accumulated drift: each relative step slightly wrong (the VO error model —
+    # per-frame *independent* noise on non-keyframes is not correctable by keyframe BA).
+    noisy = gt.copy()
+    for i in range(1, len(gt)):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        dw = rng.normal(0, 0.003, 3).astype(np.float32)
+        dt = rng.normal(0, 0.02, 3).astype(np.float32)
+        dT = np.asarray(pose_from_rt(so3_exp(jnp.asarray(dw[None]))[0],
+                                     jnp.asarray(dt)))
+        noisy[i] = noisy[i - 1] @ (rel @ dT)
+
+    refined, info = refine_trajectory(
+        noisy, feats.kp, feats.desc, feats.valid, kp3d, K,
+        cfg=RefineConfig(window=6, obs_per_pose=192))
+
+    eb = np.linalg.norm(noisy[:, :3, 3] - gt[:, :3, 3], axis=1)
+    ea = np.linalg.norm(refined[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert ea.mean() < 0.7 * eb.mean(), (eb.mean(), ea.mean())
+    assert ea[-1] < 0.5 * eb[-1], (eb[-1], ea[-1])  # endpoint drift strongly reduced
+    assert len(info["windows"]) >= 1
+    assert info["windows"][0]["mean_reproj"] < 2.0

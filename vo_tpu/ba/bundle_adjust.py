@@ -40,10 +40,14 @@ class BAConfig:
     huber_delta: float = 2.0         # px
     min_depth: float = 1e-2
     fix_first_pose: bool = True
+    depth_weight: float = 1.0        # weight of the rgbd depth residual (0 disables);
+                                     # the residual is expressed in pixel-equivalent
+                                     # units fx * (z - z_meas) / z, so 1.0 treats a
+                                     # fractional depth error like a pixel error
 
     def __hash__(self):
         return hash((self.iterations, self.damping_init, self.huber_delta,
-                     self.min_depth, self.fix_first_pose))
+                     self.min_depth, self.fix_first_pose, self.depth_weight))
 
 
 class BAProblem(NamedTuple):
@@ -55,6 +59,9 @@ class BAProblem(NamedTuple):
     obs_uv:   (P, M, 2) pixel measurements
     obs_valid:(P, M) bool
     K:        (3, 3) intrinsics
+    obs_z:    optional (P, M) measured camera-frame depth (rgbd); <= 0 disables the
+              depth residual for that observation. Pure-reprojection BA is gauge-soft
+              in small low-parallax windows; the metric depths pin it.
     """
 
     poses: jnp.ndarray
@@ -63,6 +70,7 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray
     obs_valid: jnp.ndarray
     K: jnp.ndarray
+    obs_z: jnp.ndarray | None = None
 
 
 def _residuals_and_jacobians(poses, points, prob: BAProblem, cfg: BAConfig):
@@ -81,22 +89,37 @@ def _residuals_and_jacobians(poses, points, prob: BAProblem, cfg: BAConfig):
     z_safe = jnp.where(z_ok, z, 1.0)
     u = fx * Y[..., 0] / z_safe + K[0, 2]
     v = fy * Y[..., 1] / z_safe + K[1, 2]
-    r = jnp.stack([u - prob.obs_uv[..., 0], v - prob.obs_uv[..., 1]], axis=-1)
+
+    # Optional rgbd depth residual in pixel-equivalent units: fx (z - z_m) / z_m.
+    if prob.obs_z is not None:
+        z_m = prob.obs_z
+        z_has = z_m > cfg.min_depth
+        z_m_safe = jnp.where(z_has, z_m, 1.0)
+        wz = cfg.depth_weight * fx / z_m_safe * z_has.astype(Y.dtype)
+        r3 = wz * (z - z_m_safe)
+    else:
+        wz = jnp.zeros_like(z)
+        r3 = jnp.zeros_like(z)
+
+    r = jnp.stack([u - prob.obs_uv[..., 0],
+                   v - prob.obs_uv[..., 1],
+                   r3], axis=-1)
 
     zinv = 1.0 / z_safe
     zero = jnp.zeros_like(zinv)
     Jproj = jnp.stack([
         jnp.stack([fx * zinv, zero, -fx * Y[..., 0] * zinv * zinv], axis=-1),
         jnp.stack([zero, fy * zinv, -fy * Y[..., 1] * zinv * zinv], axis=-1),
-    ], axis=-2)                                    # (P, M, 2, 3)
+        jnp.stack([zero, zero, wz], axis=-1),
+    ], axis=-2)                                    # (P, M, 3, 3)
 
     eye = jnp.broadcast_to(jnp.eye(3), Y.shape + (3,))
     Jpose_Y = jnp.concatenate([eye, -hat(Y)], axis=-1)     # (P, M, 3, 6)
-    Jp = Jproj @ Jpose_Y                                   # (P, M, 2, 6)
+    Jp = Jproj @ Jpose_Y                                   # (P, M, 3, 6)
     Jl = Jproj @ R[:, None]                                # dY/dX = R
 
-    # Huber IRLS weights on the residual norm, masked.
-    rn = jnp.linalg.norm(r, axis=-1)
+    # Huber IRLS weights on the 2-D reprojection norm, masked.
+    rn = jnp.linalg.norm(r[..., :2], axis=-1)
     huber = jnp.where(rn <= cfg.huber_delta, 1.0, cfg.huber_delta / rn.clip(1e-9))
     w = huber * (prob.obs_valid & z_ok).astype(r.dtype)
     return r, Jp, Jl, w

@@ -1,0 +1,195 @@
+"""Post-VO trajectory refinement: windowed bundle adjustment over keyframes.
+
+The north-star capability the reference lacks (BASELINE.json): after the forward VO
+pass, re-match temporally adjacent keyframes, lift their depth-backed keypoints to
+world-frame landmarks, and polish the keyframe poses with the Schur-complement BA
+(vo_tpu.ba). Non-keyframe poses are corrected by re-anchoring to their (refined)
+keyframe with the original relative transform.
+
+Fixed shapes throughout: windows of ``window`` keyframes x ``obs_per_pose`` observation
+slots; windows overlap by half and are blended by re-anchoring, so the whole refinement
+is a host loop over a handful of jitted BA solves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vo_tpu.ba.bundle_adjust import BAConfig, BAProblem, bundle_adjust
+from vo_tpu.estimation.pnp import PnPConfig, pnp_ransac
+from vo_tpu.geometry.se3 import pose_inverse, transform_points
+from vo_tpu.matching.matchers import MatchResult, ratio_match, ratio_mutual_nn_match
+
+
+@dataclass(frozen=True)
+class RefineConfig:
+    window: int = 8             # keyframes per BA window
+    obs_per_pose: int = 256     # observation slots per keyframe
+    matcher_ratio: float = 0.9
+    binary_desc: bool = True
+    ba: BAConfig = BAConfig(iterations=10)
+    min_obs_per_landmark: int = 2
+
+
+def _select_keyframes(diag_promoted: np.ndarray, n_frames: int,
+                      max_gap: int = 4) -> np.ndarray:
+    """Keyframe indices: frame 0, every promoted frame, the last frame, with gaps
+    capped at ``max_gap`` so every adjacent pair stays matchable."""
+    kfs = [0]
+    promoted = np.nonzero(np.asarray(diag_promoted))[0] + 1  # diag row i = frame i+1
+    for f in promoted:
+        if f - kfs[-1] >= 1:
+            kfs.append(int(f))
+    if kfs[-1] != n_frames - 1:
+        kfs.append(n_frames - 1)
+    out = [kfs[0]]
+    for f in kfs[1:]:
+        while f - out[-1] > max_gap:
+            out.append(out[-1] + max_gap)
+        out.append(f)
+    return np.unique(np.asarray(out))
+
+
+def _pair_match(ia, ib, kp, desc, valid, kp3d, kp3d_valid, K, cfg: RefineConfig):
+    """RANSAC-verified matches keyframe ia -> ib: (idx (Kp,), mask (Kp,)).
+
+    Descriptor matches carry gross outliers that Huber alone cannot absorb, so every
+    pair is gated through the PnP solver's inlier set before it feeds BA.
+    """
+    if cfg.binary_desc:
+        m: MatchResult = ratio_match(desc[ia], desc[ib], valid[ia], valid[ib],
+                                     ratio=cfg.matcher_ratio,
+                                     binary_dim=desc.shape[-1])
+    else:
+        m = ratio_mutual_nn_match(desc[ia], desc[ib], valid[ia], valid[ib],
+                                  ratio=cfg.matcher_ratio)
+    idx = np.asarray(m.idx)
+    mask = np.asarray(m.mask) & np.asarray(kp3d_valid[ia])
+    pnp = pnp_ransac(
+        jax.random.fold_in(jax.random.key(8214), int(ia) * 10007 + int(ib)),
+        kp3d[ia], kp[ib][m.idx], jnp.asarray(mask), jnp.asarray(K),
+        PnPConfig(n_hypotheses=256, min_inliers=10),
+        points_3d_cur=kp3d[ib][m.idx],
+        valid_cur=kp3d_valid[ib][idx],
+    )
+    return idx, mask & np.asarray(pnp.inliers)
+
+
+def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
+                          cfg: RefineConfig):
+    """One fixed-shape BAProblem with 2-3 view landmark tracks.
+
+    Each landmark anchors at keyframe a and is observed in a, a+1 and (when the
+    composed match survives) a+2 — 3-view tracks constrain the window's poses far more
+    strongly than pairwise 2-view observations.
+    """
+    P = len(kf_ids)
+    M = cfg.obs_per_pose
+    per_anchor = M // 3
+    L = max((P - 1) * per_anchor, 1)
+
+    pair = {a: _pair_match(kf_ids[a], kf_ids[a + 1], kp, desc, valid, kp3d,
+                           kp3d_valid, K, cfg)
+            for a in range(P - 1)}
+
+    obs_lm = np.zeros((P, M), np.int32)
+    obs_uv = np.zeros((P, M, 2), np.float32)
+    obs_z = np.zeros((P, M), np.float32)
+    obs_valid = np.zeros((P, M), bool)
+    points = np.zeros((L, 3), np.float32)
+    obs_fill = np.zeros(P, np.int32)
+    lm_ctr = 0
+
+    z_all = np.asarray(kp3d[..., 2])
+    zv_all = np.asarray(kp3d_valid)
+
+    def add_obs(p, frame, kp_rows, lm_ids):
+        s = obs_fill[p]
+        n = len(lm_ids)
+        obs_lm[p, s:s + n] = lm_ids
+        obs_uv[p, s:s + n] = np.asarray(kp[frame])[kp_rows]
+        # metric depth measurement where the frame's depth is valid at that keypoint
+        obs_z[p, s:s + n] = np.where(zv_all[frame][kp_rows],
+                                     z_all[frame][kp_rows], 0.0)
+        obs_valid[p, s:s + n] = True
+        obs_fill[p] += n
+
+    for a in range(P - 1):
+        ia, ib = kf_ids[a], kf_ids[a + 1]
+        idx1, mask1 = pair[a]
+        rows = np.nonzero(mask1)[0][:per_anchor]
+        n = len(rows)
+        if n == 0:
+            continue
+
+        Xc = np.asarray(kp3d[ia])[rows]
+        Xw = np.asarray(transform_points(jnp.asarray(Xc), jnp.asarray(poses[ia])))
+        lm_ids = np.arange(lm_ctr, lm_ctr + n)
+        points[lm_ids] = Xw
+        lm_ctr += n
+
+        add_obs(a, ia, rows, lm_ids)
+        add_obs(a + 1, ib, idx1[rows], lm_ids)
+
+        # Third view via match composition a -> a+1 -> a+2.
+        if a + 2 < P:
+            idx2, mask2 = pair[a + 1]
+            hop = idx1[rows]
+            ok3 = mask2[hop]
+            if ok3.any() and obs_fill[a + 2] + ok3.sum() <= M:
+                ic = kf_ids[a + 2]
+                add_obs(a + 2, ic, idx2[hop[ok3]], lm_ids[ok3])
+
+    # world->camera for BA convention
+    T_cw = np.asarray(pose_inverse(jnp.asarray(poses[kf_ids])))
+    return BAProblem(
+        poses=jnp.asarray(T_cw), points=jnp.asarray(points),
+        obs_lm=jnp.asarray(obs_lm), obs_uv=jnp.asarray(obs_uv),
+        obs_valid=jnp.asarray(obs_valid), K=jnp.asarray(K),
+        obs_z=jnp.asarray(obs_z),
+    )
+
+
+def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
+                      cfg: RefineConfig = RefineConfig()):
+    """BA-refine a VO trajectory. Returns (refined (F, 4, 4) np, info dict).
+
+    Args:
+      poses: (F, 4, 4) camera-to-world VO estimates.
+      kp/desc/valid/kp3d: per-frame fixed-budget features (from the extraction pass).
+      diag_promoted: (F-1,) keyframe-promotion flags from the engine diagnostics.
+    """
+    poses = np.asarray(poses)
+    F = poses.shape[0]
+    z = np.asarray(kp3d[..., 2])
+    kp3d_valid = np.asarray(valid) & (z > 0.1) & (z < 80.0)
+
+    if diag_promoted is None:
+        diag_promoted = np.zeros(F - 1, bool)
+    kfs = _select_keyframes(diag_promoted, F)
+
+    refined = poses.copy()
+    infos = []
+    step = max(cfg.window // 2, 1)
+    for start in range(0, max(len(kfs) - 1, 1), step):
+        ids = kfs[start:start + cfg.window]
+        if len(ids) < 3:
+            break
+        prob = _build_window_problem(ids, refined, kp, desc, valid, kp3d,
+                                     kp3d_valid, K, cfg)
+        T_cw_opt, _, info = bundle_adjust(prob, cfg.ba)
+        T_wc_opt = np.asarray(pose_inverse(T_cw_opt))
+        infos.append({k: float(np.asarray(v)) for k, v in info.items()
+                      if np.asarray(v).ndim == 0})
+
+        # Re-anchor: apply each keyframe's correction to the frames it anchors.
+        for j, f in enumerate(ids):
+            corr = T_wc_opt[j] @ np.linalg.inv(refined[f])
+            nxt = ids[j + 1] if j + 1 < len(ids) else F
+            for g in range(f, min(nxt, F)):
+                refined[g] = corr @ refined[g]
+    return refined, {"windows": infos, "keyframes": kfs}
