@@ -99,12 +99,49 @@ def warp_pair(img: jnp.ndarray, Hmat: jnp.ndarray):
     return img2, flow, mask
 
 
-@partial(jax.jit, static_argnames=("batch", "H", "W"))
-def synthetic_pair_batch(key, batch: int, H: int, W: int):
-    """Full on-device batch: (img1, img2 (B, H, W), flow (B, H, W, 2), mask (B, H, W))."""
-    k_tex, k_h = jax.random.split(key)
+@partial(jax.jit, static_argnames=("batch", "H", "W", "photometric"))
+def synthetic_pair_batch(key, batch: int, H: int, W: int, photometric: bool = False):
+    """Full on-device batch: (img1, img2 (B, H, W), flow (B, H, W, 2), mask (B, H, W)).
+    ``photometric=True`` adds gain/bias/gamma/noise jitter to the warped view."""
+    k_tex, k_h, k_p = jax.random.split(key, 3)
     img1 = procedural_texture(k_tex, batch, H, W)
     hkeys = jax.random.split(k_h, batch)
     Hmats = jax.vmap(lambda k: random_homography(k, H, W))(hkeys)
     img2, flow, mask = jax.vmap(warp_pair)(img1, Hmats)
+    if photometric:
+        img2 = jax.vmap(photometric_augment)(jax.random.split(k_p, batch), img2)
     return img1, img2, flow, mask
+
+
+def photometric_augment(key, img: jnp.ndarray, max_gain: float = 0.25,
+                        max_bias: float = 20.0, max_gamma: float = 0.25,
+                        noise_std: float = 5.0) -> jnp.ndarray:
+    """Correspondence-preserving photometric jitter for one (H, W) image in [0, 255]:
+    gain/bias (the reference's ColorJitter brightness/contrast,
+    tools/transforms.py:384-430 behavior), gamma, and i.i.d. pixel noise
+    (``RandomNoise``/PixelNoise, tools/transforms.py:433-452). Geometry untouched, so
+    flow/mask stay exact."""
+    kg, kb, kgam, kn = jax.random.split(key, 4)
+    gain = jnp.exp(jax.random.uniform(kg, (), minval=-max_gain, maxval=max_gain))
+    bias = jax.random.uniform(kb, (), minval=-max_bias, maxval=max_bias)
+    gamma = jnp.exp(jax.random.uniform(kgam, (), minval=-max_gamma, maxval=max_gamma))
+    noise = noise_std * jax.random.normal(kn, img.shape)
+    x = (img / 255.0).clip(0.0, 1.0) ** gamma
+    return (255.0 * gain * x + bias + noise).clip(0.0, 255.0)
+
+
+def pair_batch_from_images(key, images: jnp.ndarray, photometric: bool = True):
+    """Training pairs from *real* images (B, H, W): random homography warp + exact flow
+    (the reference's SyntheticPairDataset applied to loaded images,
+    datasets/pair_dataset.py:119-168) with photometric jitter on the warped view.
+
+    Returns (img1, img2, flow, mask) exactly like ``synthetic_pair_batch``.
+    """
+    images = jnp.asarray(images, jnp.float32)
+    B, H, W = images.shape
+    k_h, k_p = jax.random.split(key)
+    Hmats = jax.vmap(lambda k: random_homography(k, H, W))(jax.random.split(k_h, B))
+    img2, flow, mask = jax.vmap(warp_pair)(images, Hmats)
+    if photometric:
+        img2 = jax.vmap(photometric_augment)(jax.random.split(k_p, B), img2)
+    return images, img2, flow, mask

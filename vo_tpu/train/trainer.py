@@ -45,11 +45,13 @@ class TrainConfig:
     sample_stride: int = 8
     bn_momentum: float = 0.9
     seed: int = 8214
+    photometric: bool = False   # gain/bias/gamma/pixel-noise jitter on the warped view
+                                # (the reference's ColorJitter/PixelNoise transforms)
 
     def __hash__(self):
         return hash((self.batch, self.height, self.width, self.lr, self.weight_decay,
                      self.w_cosim, self.w_peaky, self.w_ap, self.sample_stride,
-                     self.bn_momentum, self.seed))
+                     self.bn_momentum, self.seed, self.photometric))
 
 
 class TrainState(NamedTuple):
@@ -83,7 +85,8 @@ def train_step(state: TrainState, key, spec: PatchNetSpec, cfg: TrainConfig):
     Returns (new_state, metrics). NaN-guarded: a non-finite loss skips the update
     (the reference's trainer asserts and dies, tools/trainer.py:55; we hold instead).
     """
-    img1, img2, flow, mask = synthetic_pair_batch(key, cfg.batch, cfg.height, cfg.width)
+    img1, img2, flow, mask = synthetic_pair_batch(key, cfg.batch, cfg.height,
+                                                  cfg.width, cfg.photometric)
 
     def loss_fn(params):
         out1 = apply_patchnet(params, spec, _normalize(img1), train=True)
