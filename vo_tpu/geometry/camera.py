@@ -99,6 +99,98 @@ def depth_to_3d_at(depth_img: jnp.ndarray, kp: jnp.ndarray, K: jnp.ndarray) -> j
     return unproject(kp.astype(depth_img.dtype), d, K)
 
 
+class Distortion(NamedTuple):
+    """Radial-tangential (Brown-Conrady) distortion coefficients, OpenCV ordering
+    [k1, k2, p1, p2, k3] — the model behind the reference's ``cv2.undistortPoints``
+    calls (Camera.py:92,105)."""
+
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    k3: jnp.ndarray
+
+    @classmethod
+    def from_coeffs(cls, d) -> "Distortion":
+        d = jnp.asarray(d, jnp.float32)
+        d = jnp.concatenate([d, jnp.zeros(max(0, 5 - d.shape[0]))])
+        return cls(d[0], d[1], d[2], d[3], d[4])
+
+    @property
+    def is_zero(self):
+        return (self.k1 == 0) & (self.k2 == 0) & (self.p1 == 0) & (self.p2 == 0) \
+            & (self.k3 == 0)
+
+
+def distort_normalized(xy: jnp.ndarray, dist: Distortion) -> jnp.ndarray:
+    """Apply radial-tangential distortion to normalized image coords (..., 2)."""
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (dist.k1 + r2 * (dist.k2 + r2 * dist.k3))
+    xd = x * radial + 2.0 * dist.p1 * x * y + dist.p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + dist.p1 * (r2 + 2.0 * y * y) + 2.0 * dist.p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def undistort_normalized(xy_d: jnp.ndarray, dist: Distortion,
+                         iters: int = 8) -> jnp.ndarray:
+    """Invert the distortion by fixed-point iteration — the cv2.undistortPoints
+    compensation loop (OpenCV uses 5 iterations; we default to 8), unrolled to a fixed
+    count so it stays jittable with static shapes."""
+    xd, yd = xy_d[..., 0], xy_d[..., 1]
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (dist.k1 + r2 * (dist.k2 + r2 * dist.k3))
+        dx = 2.0 * dist.p1 * x * y + dist.p2 * (r2 + 2.0 * x * x)
+        dy = dist.p1 * (r2 + 2.0 * y * y) + 2.0 * dist.p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return jnp.stack([x, y], axis=-1)
+
+
+def undistort_points(kp: jnp.ndarray, K: jnp.ndarray, dist: Distortion,
+                     iters: int = 8) -> jnp.ndarray:
+    """Distorted pixel coords (..., 2) -> ideal pixel coords (..., 2).
+
+    Equivalent of the reference's ``cv2.undistortPoints(..., P=K)`` usage
+    (Camera.py:100-111 ``undistort_points``): normalize, compensate, re-project
+    through K.
+    """
+    xy = undistort_normalized(normalize_kp(kp, K), dist, iters)
+    u = K[0, 0] * xy[..., 0] + K[0, 2]
+    v = K[1, 1] * xy[..., 1] + K[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def distort_points(kp: jnp.ndarray, K: jnp.ndarray, dist: Distortion) -> jnp.ndarray:
+    """Ideal pixel coords (..., 2) -> distorted pixel coords (..., 2)."""
+    xy = distort_normalized(normalize_kp(kp, K), dist)
+    u = K[0, 0] * xy[..., 0] + K[0, 2]
+    v = K[1, 1] * xy[..., 1] + K[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def is_in_frame(uv: jnp.ndarray, width: int, height: int,
+                margin: float = 0.0) -> jnp.ndarray:
+    """Pixel-bounds visibility test (Camera.py:113-118 ``is_in_image``)."""
+    return ((uv[..., 0] >= margin) & (uv[..., 0] < width - margin)
+            & (uv[..., 1] >= margin) & (uv[..., 1] < height - margin))
+
+
+def are_visible(points_3d: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
+                z_near: float = 0.0, z_far: float = jnp.inf) -> jnp.ndarray:
+    """Full visibility check: in front of the camera, inside the frame, within the
+    depth range (Camera.py:120-130 ``are_visible``: z > 0, FOV bounds, distance cap) —
+    fixed-shape boolean mask, no filtering."""
+    uv, z = project(points_3d, K)
+    H = jnp.asarray(height, points_3d.dtype)
+    W = jnp.asarray(width, points_3d.dtype)
+    in_img = ((uv[..., 0] >= 0) & (uv[..., 0] < W)
+              & (uv[..., 1] >= 0) & (uv[..., 1] < H))
+    return in_img & (z > z_near) & (z < z_far)
+
+
 def depth_to_3d(depth_img: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """Dense back-projection of a full depth image -> (H, W, 3) camera-frame points.
 

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     ap.add_argument("--reliability-thr", type=float, default=0.7)
     ap.add_argument("--repeatability-thr", type=float, default=0.7)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--kapture-root", default=None,
+                    help="also write kapture-layout binary features under this root "
+                         "(reconstruction/{keypoints,descriptors}/<tag>/<image>...)")
     args = ap.parse_args(argv)
 
     from vo_tpu.io.dataset import _read_png_rgb
@@ -76,7 +79,39 @@ def main(argv=None) -> int:
                                     imsize=(im.shape[1], im.shape[0]), frame=i)
                 n = int(np.asarray(feats.valid[i]).sum())
                 print(f"Saving {n} keypoints to {out}")
+                if args.kapture_root:
+                    save_kapture_features(args.kapture_root, args.tag, p, feats, i)
     return 0
+
+
+def save_kapture_features(root: str, tag: str, image_path: str, feats,
+                          frame: int) -> tuple[str, str]:
+    """Write one image's features in kapture's binary layout — the reference's
+    extract_kapture.py output (reconstruction/keypoints/<type>/<image>.kpt as raw
+    float32 Nx3 [x, y, scale], reconstruction/descriptors/<type>/<image>.desc as raw
+    float32 NxD), plus the .txt type headers kapture expects."""
+    import os
+
+    v = np.asarray(feats.valid[frame])
+    kp = np.asarray(feats.kp[frame])[v].astype(np.float32)        # (N, 3) x, y, scale
+    desc = np.asarray(feats.desc[frame])[v].astype(np.float32)    # (N, D)
+
+    name = os.path.basename(image_path)
+    kdir = os.path.join(root, "reconstruction", "keypoints", tag)
+    ddir = os.path.join(root, "reconstruction", "descriptors", tag)
+    os.makedirs(kdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    kpath = os.path.join(kdir, name + ".kpt")
+    dpath = os.path.join(ddir, name + ".desc")
+    kp.tofile(kpath)
+    desc.tofile(dpath)
+    # Type headers (kapture 1.x csv format line + dtype/dsize).
+    with open(os.path.join(kdir, "keypoints.txt"), "w") as f:
+        f.write(f"# kapture format: 1.1\nname={tag}\ndtype=float32\ndsize={kp.shape[1]}\n")
+    with open(os.path.join(ddir, "descriptors.txt"), "w") as f:
+        f.write(f"# kapture format: 1.1\nname={tag}\nkeypoints_type={tag}\n"
+                f"dtype=float32\ndsize={desc.shape[1]}\nmetric_type=L2\n")
+    return kpath, dpath
 
 
 if __name__ == "__main__":
