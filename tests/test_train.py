@@ -80,6 +80,37 @@ class TestLosses:
         bad = float(ap_reliability_loss(jnp.asarray(same), jnp.asarray(same), rel, flow, mask))
         assert good < bad
 
+    def test_ngh_ap_loss_good_vs_bad(self, rng):
+        from vo_tpu.train.losses import ngh_ap_reliability_loss
+
+        B, H, W, D = 1, 64, 64, 32
+        gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+        flow = jnp.asarray(np.stack([gx, gy], -1)[None].astype(np.float32))
+        mask = jnp.ones((B, H, W), bool)
+        rel = jnp.full((B, H, W), 0.9)
+        # Smooth but distinctive descriptor field (so the pos ring stays positive
+        # under bilinear sampling while far negatives differ).
+        base = rng.normal(size=(B, H // 8, W // 8, D)).astype(np.float32)
+        d = np.array(jax.image.resize(jnp.asarray(base), (B, H, W, D), "linear"))
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
+        good = float(ngh_ap_reliability_loss(jnp.asarray(d), jnp.asarray(d), rel,
+                                             flow, mask))
+        same = np.ones((B, H, W, D), np.float32) / np.sqrt(D)
+        bad = float(ngh_ap_reliability_loss(jnp.asarray(same), jnp.asarray(same), rel,
+                                            flow, mask))
+        assert good < bad
+
+    def test_ngh_sampler_trains(self):
+        cfg = TrainConfig(batch=2, height=96, width=96, sampler="ngh")
+        spec = FAST_QUAD_L2NET_CONFCFS
+        state = create_train_state(spec, cfg)
+        key = jax.random.key(1)
+        losses = []
+        for _ in range(4):
+            state, metrics = train_step(state, key, spec, cfg)
+            losses.append(float(metrics["total"]))
+        assert losses[-1] < losses[0], losses
+
 
 class TestTrainStep:
     def test_loss_decreases_on_fixed_batch(self):

@@ -136,13 +136,85 @@ def ap_reliability_loss(desc1: jnp.ndarray, desc2: jnp.ndarray, rel1: jnp.ndarra
     return jnp.mean(jax.vmap(per_image)(desc1, desc2, rel1, flow, mask))
 
 
+def ngh_ap_reliability_loss(desc1: jnp.ndarray, desc2: jnp.ndarray, rel1: jnp.ndarray,
+                            flow: jnp.ndarray, mask: jnp.ndarray,
+                            stride: int = 8, kappa: float = 0.5, n_bins: int = 25,
+                            pos_d: int = 3, neg_d: tuple[int, int] = (5, 18),
+                            distractor_stride: int = 16) -> jnp.ndarray:
+    """NghSampler2-style AP-reliability loss (nets/sampler.py:252-382 behavior).
+
+    Differences from ``ap_reliability_loss``: per query, *positives* are a ring of
+    sub-pixel offsets within ``pos_d`` px of the ground-truth flow target (the
+    reference's ``pos_d`` neighborhood); *negatives* combine (a) a hard-negative ring at
+    radius ``neg_d`` around the target — same image, spatially close, so the descriptor
+    must discriminate — and (b) a coarse distractor grid over image 2 (the reference's
+    ``subd_neg`` distractors), masked of any cell within ``neg_d[0]`` of the target.
+    Fixed shapes throughout: every query sees the same positive/negative counts.
+    """
+    B, H, W, D = desc1.shape
+
+    ys = jnp.arange(stride // 2, H - stride // 2, stride)
+    xs = jnp.arange(stride // 2, W - stride // 2, stride)
+    gx, gy = jnp.meshgrid(xs, ys)
+    q_xy = jnp.stack([gx, gy], -1).reshape(-1, 2)                   # (Q, 2)
+
+    # Positive ring: center + 4 offsets at ~pos_d * (0.5, 1.0).
+    r = float(pos_d)
+    pos_off = jnp.asarray([[0.0, 0.0], [r * 0.5, 0.0], [-r * 0.5, 0.0],
+                           [0.0, r * 0.5], [0.0, -r * 0.5]])        # (P, 2)
+    # Hard-negative ring: 8 directions at radius in [neg_d0, neg_d1].
+    angs = jnp.arange(8) * (2 * jnp.pi / 8)
+    rad = 0.5 * (neg_d[0] + neg_d[1])
+    neg_off = rad * jnp.stack([jnp.cos(angs), jnp.sin(angs)], -1)   # (R, 2)
+
+    dy = jnp.arange(distractor_stride // 2, H, distractor_stride)
+    dx = jnp.arange(distractor_stride // 2, W, distractor_stride)
+    dgx, dgy = jnp.meshgrid(dx, dy)
+    d_xy = jnp.stack([dgx, dgy], -1).reshape(-1, 2).astype(jnp.float32)   # (G, 2)
+
+    def per_image(d1, d2, r1, fl, mk):
+        q = d1[q_xy[:, 1], q_xy[:, 0]]                              # (Q, D)
+        q_rel = r1[q_xy[:, 1], q_xy[:, 0]]
+        q_valid = mk[q_xy[:, 1], q_xy[:, 0]]
+        tgt = fl[q_xy[:, 1], q_xy[:, 0]]                            # (Q, 2)
+
+        def ring(offsets):
+            pts = tgt[:, None, :] + offsets[None]                   # (Q, K, 2)
+            d = _bilinear_at(d2, pts.reshape(-1, 2)).reshape(
+                tgt.shape[0], offsets.shape[0], D)
+            return d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
+
+        pos = ring(pos_off)                                         # (Q, P, D)
+        hneg = ring(neg_off)                                        # (Q, R, D)
+        sim_pos = jnp.einsum("qd,qpd->qp", q, pos)
+        sim_hneg = jnp.einsum("qd,qrd->qr", q, hneg)
+
+        dist_desc = d2[d_xy[:, 1].astype(jnp.int32), d_xy[:, 0].astype(jnp.int32)]
+        sim_dist = q @ dist_desc.T                                  # (Q, G)
+        d2_t = jnp.sum((tgt[:, None] - d_xy[None]) ** 2, -1)
+        sim_dist = jnp.where(d2_t > float(neg_d[0]) ** 2, sim_dist, -1.0)
+
+        sim_neg = jnp.concatenate([sim_hneg, sim_dist], axis=-1)
+        ap = _quantized_ap(sim_pos, sim_neg, n_bins)
+        loss_q = 1.0 - (ap * q_rel + kappa * (1.0 - q_rel))
+        w = q_valid.astype(jnp.float32)
+        return jnp.sum(loss_q * w) / w.sum().clip(1.0)
+
+    return jnp.mean(jax.vmap(per_image)(desc1, desc2, rel1, flow, mask))
+
+
 def r2d2_loss(out1: dict, out2: dict, flow: jnp.ndarray, mask: jnp.ndarray,
               w_cosim: float = 1.0, w_peaky: float = 0.5, w_ap: float = 1.0,
-              stride: int = 8) -> tuple[jnp.ndarray, dict]:
-    """Weighted MultiLoss combiner (nets/losses.py:16-50 behavior)."""
+              stride: int = 8, sampler: str = "grid") -> tuple[jnp.ndarray, dict]:
+    """Weighted MultiLoss combiner (nets/losses.py:16-50 behavior).
+
+    ``sampler="grid"`` uses in-batch grid negatives; ``sampler="ngh"`` uses the
+    NghSampler2-style ring positives/negatives + distractor grid.
+    """
     l_cosim = cosim_loss(out1["repeatability"], out2["repeatability"], flow, mask)
     l_peaky = 0.5 * (peaky_loss(out1["repeatability"]) + peaky_loss(out2["repeatability"]))
-    l_ap = ap_reliability_loss(out1["descriptors"], out2["descriptors"],
-                               out1["reliability"], flow, mask, stride=stride)
+    ap_fn = ngh_ap_reliability_loss if sampler == "ngh" else ap_reliability_loss
+    l_ap = ap_fn(out1["descriptors"], out2["descriptors"],
+                 out1["reliability"], flow, mask, stride=stride)
     total = w_cosim * l_cosim + w_peaky * l_peaky + w_ap * l_ap
     return total, {"cosim": l_cosim, "peaky": l_peaky, "ap": l_ap, "total": total}

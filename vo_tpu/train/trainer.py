@@ -47,11 +47,13 @@ class TrainConfig:
     seed: int = 8214
     photometric: bool = False   # gain/bias/gamma/pixel-noise jitter on the warped view
                                 # (the reference's ColorJitter/PixelNoise transforms)
+    sampler: str = "grid"       # "grid" (in-batch negatives) or "ngh" (NghSampler2-style
+                                # ring positives/negatives + distractors, sampler.py:252-382)
 
     def __hash__(self):
         return hash((self.batch, self.height, self.width, self.lr, self.weight_decay,
                      self.w_cosim, self.w_peaky, self.w_ap, self.sample_stride,
-                     self.bn_momentum, self.seed, self.photometric))
+                     self.bn_momentum, self.seed, self.photometric, self.sampler))
 
 
 class TrainState(NamedTuple):
@@ -93,7 +95,7 @@ def train_step(state: TrainState, key, spec: PatchNetSpec, cfg: TrainConfig):
         out2 = apply_patchnet(params, spec, _normalize(img2), train=True)
         total, metrics = r2d2_loss(out1, out2, flow, mask, w_cosim=cfg.w_cosim,
                                    w_peaky=cfg.w_peaky, w_ap=cfg.w_ap,
-                                   stride=cfg.sample_stride)
+                                   stride=cfg.sample_stride, sampler=cfg.sampler)
         return total, (metrics, out1["bn_stats"])
 
     (loss, (metrics, bn_stats)), grads = jax.value_and_grad(
