@@ -35,6 +35,15 @@ from vo_tpu.matching.matchers import (
 )
 
 
+def _on_tpu() -> bool:
+    """True when the default backend can run Mosaic kernels (tpu, or the tunneled
+    'axon' backend which is a real TPU chip)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @dataclass(frozen=True)
 class VOConfig:
     matcher: str = "ratio_binary"      # 'ratio_binary' | 'ratio_float' | 'ratio_mutual_nn' | 'mutual_nn'
@@ -50,13 +59,14 @@ class VOConfig:
     bad_pnp_limit: int = 3             # :295
     pnp: PnPConfig = PnPConfig()
     seed: int = 8214                   # vo_stereo_runner.py:20-24
+    use_pallas_match: bool = True      # fused match kernel on TPU (ops/pallas_match.py)
 
     def __hash__(self):
         return hash((self.matcher, self.ratio, self.mnn_threshold,
                      self.min_displacement_px, self.min_point_depth,
                      self.max_point_depth, self.max_speed, self.kf_min_matches,
                      self.kf_min_inliers, self.kf_max_step, self.bad_pnp_limit,
-                     self.pnp, self.seed))
+                     self.pnp, self.seed, self.use_pallas_match))
 
 
 class VOState(NamedTuple):
@@ -95,12 +105,28 @@ class VOEngine:
 
     def _match(self, desc_a, desc_b, valid_a, valid_b):
         cfg = self.config
+        # On TPU, route the ratio matchers through the fused Pallas kernel
+        # (ops/pallas_match.py): one pass, no HBM similarity matrix, ~3.5x the XLA
+        # matcher at 4096 kp. Exact same results (parity-tested).
+        use_pallas = cfg.use_pallas_match and _on_tpu()
         if cfg.matcher == "ratio_binary":
+            if use_pallas:
+                from vo_tpu.ops.pallas_match import ratio_match_pallas
+                return ratio_match_pallas(desc_a, desc_b, valid_a, valid_b,
+                                          ratio=cfg.ratio, binary_dim=desc_a.shape[-1])
             return ratio_match(desc_a, desc_b, valid_a, valid_b, ratio=cfg.ratio,
                                binary_dim=desc_a.shape[-1])
         if cfg.matcher == "ratio_float":
+            if use_pallas:
+                from vo_tpu.ops.pallas_match import ratio_match_pallas
+                return ratio_match_pallas(desc_a, desc_b, valid_a, valid_b,
+                                          ratio=cfg.ratio)
             return ratio_match(desc_a, desc_b, valid_a, valid_b, ratio=cfg.ratio)
         if cfg.matcher == "ratio_mutual_nn":
+            if use_pallas:
+                from vo_tpu.ops.pallas_match import ratio_mutual_nn_match_pallas
+                return ratio_mutual_nn_match_pallas(desc_a, desc_b, valid_a, valid_b,
+                                                    ratio=cfg.ratio)
             return ratio_mutual_nn_match(desc_a, desc_b, valid_a, valid_b, ratio=cfg.ratio)
         if cfg.matcher == "mutual_nn":
             return mutual_nn_match(desc_a, desc_b, valid_a, valid_b,
