@@ -26,7 +26,9 @@ from vo_tpu.estimation.pnp import PnPConfig
 @dataclass
 class RunConfig:
     vo_method: str = "rgbd"              # 'rgbd' | 'mono' (mono is WIP in the reference too)
-    feature_extractor: str = "orb"       # 'orb' | 'sift' | 'r2d2' (YAML switch, ref :19-24)
+    feature_extractor: str = "orb"       # 'orb' | 'sift' | 'surf' | 'r2d2' (ref :19-24;
+                                         # surf exists as feature_extractors/SURF.py but
+                                         # is not reachable from the reference's switch)
     image_path: str = ""
     camera_intrinsic_matrix: np.ndarray = field(
         default_factory=lambda: np.array(
@@ -72,9 +74,9 @@ class RunConfig:
         if cfg.feature_extractor in ("orb",):
             vo_kwargs["matcher"] = "ratio_binary"
             vo_kwargs["ratio"] = 0.85      # ORB.py:28
-        elif cfg.feature_extractor in ("sift",):
+        elif cfg.feature_extractor in ("sift", "surf"):
             vo_kwargs["matcher"] = "ratio_float"
-            vo_kwargs["ratio"] = 0.85      # SIFT.py:27
+            vo_kwargs["ratio"] = 0.85      # SIFT.py:27, SURF.py:26
         elif cfg.feature_extractor == "r2d2":
             vo_kwargs["matcher"] = "ratio_mutual_nn"
             vo_kwargs["ratio"] = 0.90      # R2D2.py:53

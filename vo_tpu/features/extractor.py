@@ -42,10 +42,11 @@ class OrbLikeExtractor:
     rel_threshold: float = 1e-4
     border: int = 21  # >= brief patch radius + 1
     bits: int = BRIEF_BITS
-    response: str = "harris"  # 'harris' | 'shi_tomasi'
+    response: str = "harris"  # 'harris' | 'shi_tomasi' | 'hessian' (SURF-style box DoH)
     oriented: bool = False    # True: rotation-steered patch BRIEF (slower, gather-heavy)
                               # False: upright dense-packed BRIEF (TPU fast path)
     descriptor: str = "brief"  # 'brief' (binary ±1) | 'gradhist' (SIFT-style float)
+                               # | 'surf' (upright Haar SURF-64 float)
     brief_impl: str = "auto"   # 'auto' | 'pallas' | 'xla' — dense-BRIEF backend.
                                # 'auto' currently resolves to XLA everywhere: on the
                                # available v5e toolchain the compiled Pallas kernel
@@ -65,8 +66,13 @@ class OrbLikeExtractor:
           Features with shapes (B, max_kp, ...).
         """
         gray = rgb_to_gray(images) if images.ndim == 4 else images.astype(jnp.float32)
-        resp_fn = harris_response if self.response == "harris" else shi_tomasi_response
-        resp = resp_fn(gray)
+        if self.response == "hessian":
+            from vo_tpu.features.surf import hessian_response
+
+            resp = hessian_response(gray)
+        else:
+            resp_fn = harris_response if self.response == "harris" else shi_tomasi_response
+            resp = resp_fn(gray)
         kp, score, valid = detect_keypoints(
             resp, max_kp=self.max_kp, nms_size=self.nms_size,
             rel_threshold=self.rel_threshold, border=self.border,
@@ -75,6 +81,10 @@ class OrbLikeExtractor:
             from vo_tpu.features.gradhist import gradhist_descriptors
 
             desc = gradhist_descriptors(gray, kp, valid)
+        elif self.descriptor == "surf":
+            from vo_tpu.features.surf import surf_descriptors
+
+            desc = surf_descriptors(gray, kp, valid)
         elif self.oriented:
             desc = jax.vmap(
                 lambda g, k, v: oriented_brief_descriptors(g, k, v, bits=self.bits)

@@ -31,6 +31,9 @@ def build_extractor(cfg: RunConfig):
         return OrbLikeExtractor(max_kp=cfg.max_keypoints)
     if cfg.feature_extractor == "sift":
         return OrbLikeExtractor(max_kp=cfg.max_keypoints, descriptor="gradhist")
+    if cfg.feature_extractor == "surf":
+        return OrbLikeExtractor(max_kp=cfg.max_keypoints, response="hessian",
+                                descriptor="surf")
     if cfg.feature_extractor == "r2d2":
         from vo_tpu.models.r2d2_extractor import R2D2Extractor
 
