@@ -47,7 +47,12 @@ def dense_packed_brief(gray: jnp.ndarray, bits: int = BRIEF_BITS,
     smoothed = gaussian_blur(gray, blur_sigma)
     pad = _PATTERN_RADIUS
     B, H, W = gray.shape
-    xp = jnp.pad(smoothed, ((0, 0), (pad, pad), (pad, pad)))
+    # bf16 halves the HBM traffic of the 256 shifted compares. Precision matches
+    # classic BRIEF semantics: bf16 resolves >= uint8 steps across 0..255, and the
+    # original formulation compares *uint8* smoothed intensities anyway. The Pallas
+    # fast path (ops/pallas_brief.py) applies the identical cast so both paths stay
+    # bit-identical.
+    xp = jnp.pad(smoothed.astype(jnp.bfloat16), ((0, 0), (pad, pad), (pad, pad)))
 
     words = []
     acc = jnp.zeros((B, H, W), jnp.uint32)

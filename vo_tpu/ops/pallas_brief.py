@@ -50,9 +50,17 @@ def _brief_kernel(offsets_np, TH, TW, img_ref, out_ref, tile, sem):
         acc = jnp.zeros((TH, TW), jnp.uint32)
         for k in range(32):
             (ax, ay), (bx, by) = offsets_np[w * 32 + k]
-            va = tile[_PAD + ay: _PAD + ay + TH, _PAD + ax: _PAD + ax + TW]
-            vb = tile[_PAD + by: _PAD + by + TH, _PAD + bx: _PAD + bx + TW]
-            acc = acc | ((va < vb).astype(jnp.uint32) << np.uint32(k))
+            # Upcast to f32 for the compare: Mosaic lacks native bf16 compares on
+            # some targets, and bf16->f32 is exact so parity with the XLA path's
+            # bf16 compare is preserved. The DMA stays bf16 (the traffic win).
+            va = tile[_PAD + ay: _PAD + ay + TH,
+                      _PAD + ax: _PAD + ax + TW].astype(jnp.float32)
+            vb = tile[_PAD + by: _PAD + by + TH,
+                      _PAD + bx: _PAD + bx + TW].astype(jnp.float32)
+            # Multiply by the constant instead of `<< k`: Mosaic miscompiles
+            # shift-by-16..22 in this sliced-compare accumulation on real TPUs
+            # (bits 16-22 of every word came out ~random; bit-exact with `*`).
+            acc = acc | ((va < vb).astype(jnp.uint32) * np.uint32(1 << k))
         # (TH, TW) store into a (..., TH, TW) slice — layout Mosaic supports without
         # reshapes (word-major output; transposed to (B, H, W, nw) by the wrapper).
         out_ref[0, w, :, :] = acc
@@ -71,8 +79,9 @@ def dense_packed_brief_pallas(gray: jnp.ndarray, bits: int = BRIEF_BITS,
     Ht = -(-H // TH) * TH
     Wt = -(-W // TW) * TW
     # Right-pad W by a full 128 lanes so every tile's (TW + 128)-wide DMA stays in
-    # bounds (see _brief_kernel).
-    padded = jnp.pad(smoothed,
+    # bounds (see _brief_kernel). bf16 halves the halo-DMA traffic and must match the
+    # XLA fallback's cast exactly so both paths produce bit-identical descriptors.
+    padded = jnp.pad(smoothed.astype(jnp.bfloat16),
                      ((0, 0), (_PAD, _PAD + Ht - H), (_PAD, (Wt - W) + 128)))
 
     n_words = bits // 32
@@ -87,7 +96,7 @@ def dense_packed_brief_pallas(gray: jnp.ndarray, bits: int = BRIEF_BITS,
             lambda b, i, j: (b, 0, i, j),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * _PAD, TW + 128), jnp.float32),
+            pltpu.VMEM((TH + 2 * _PAD, TW + 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
