@@ -10,10 +10,10 @@ layer is new. Design targets TPU/XLA:
 - Landmark (point) blocks are eliminated by the Schur complement: Hll is (L, 3, 3)
   block-diagonal -> inverted with the closed-form unrolled Cholesky; the reduced camera
   system S is dense (6P, 6P) with P <= ~32, solved once per iteration.
-- Distributed form (vo_tpu.ba.distributed): landmarks shard over the ``model`` mesh
-  axis; each shard assembles its S/b contribution locally and one psum produces the
-  replicated reduced system — the TPU-native analog of distributed Schur BA
-  (SURVEY.md §2.3 checklist).
+- Distributed form (vo_tpu.ba.distributed): a shard_map program that splits keyframe
+  blocks (and landmark ownership) over a mesh axis — per-shard assembly, reduce_scatter
+  of landmark blocks, all_to_all of the pose-landmark couplings, psum of the reduced
+  camera system (SURVEY.md §2.3 checklist).
 
 Conventions: poses are world-to-camera T_cw (4, 4); landmark X is world-frame;
 residual = project(K, T_cw X) - uv.
@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from vo_tpu.geometry.se3 import se3_exp
 from vo_tpu.geometry.so3 import hat
-from vo_tpu.ops.smalllinalg import cholesky_small, cho_solve_small
 
 
 @dataclass(frozen=True)
@@ -143,17 +142,6 @@ def _assemble_reduced_system(r, Jp, Jl, w, obs_lm, L, damping):
 
     Wpl = jnp.einsum("pmik,pmil,pm->pmkl", Jp, Jl, w)            # (P, M, 6, 3)
 
-    # Damped landmark blocks, inverted once (closed-form Cholesky).
-    Hll_d = Hll + (damping * jnp.maximum(
-        jnp.trace(Hll, axis1=-2, axis2=-1), 1e-6)[..., None, None] / 3.0 + 1e-8
-    ) * jnp.eye(3)
-    Lchol = cholesky_small(Hll_d, 3)
-
-    def inv_apply(rhs):  # Hll^-1 rhs for (L, 3, k)
-        return jax.vmap(lambda l, m: jnp.stack(
-            [cho_solve_small(l, m[:, i], 3) for i in range(m.shape[1])], axis=-1)
-        )(Lchol, rhs)
-
     # S = Hpp - sum_l U_l Hll^-1 U_l^T where U[l] stacks the per-pose couplings of
     # landmark l. Materialize U (L, P, 6, 3) via a 2-d segment_sum of observation blocks.
     pose_ids = jnp.broadcast_to(jnp.arange(P)[:, None], (P, M)).reshape(-1)
@@ -161,8 +149,27 @@ def _assemble_reduced_system(r, Jp, Jl, w, obs_lm, L, damping):
     seg2 = flat_lm * P + pose_ids
     U = jax.ops.segment_sum(Wflat, seg2, num_segments=L * P).reshape(L, P, 6, 3)
 
-    # Hll^-1 via the closed-form 3x3 adjugate (one inverse reused for S, g and the
-    # landmark back-substitution).
+    inv3 = damped_inv3(Hll, damping)                             # (L, 3, 3)
+
+    U_t = jnp.swapaxes(U.reshape(L, P * 6, 3), -1, -2)           # (L, 3, 6P)
+    Hll_inv_Ut = inv3 @ U_t                                      # (L, 3, 6P)
+    S_corr = jnp.einsum("lak,lkb->ab",
+                        U.reshape(L, P * 6, 3), Hll_inv_Ut)      # (6P, 6P)
+    g_corr = jnp.einsum("lak,lk->a", U.reshape(L, P * 6, 3),
+                        (inv3 @ bl[..., None])[..., 0])          # (6P,)
+
+    S = jax.scipy.linalg.block_diag(*[Hpp[p] for p in range(P)]) - S_corr
+    g = bp.reshape(P * 6) - g_corr
+    return S, g, (inv3, bl, U)
+
+
+def damped_inv3(Hll: jnp.ndarray, damping) -> jnp.ndarray:
+    """LM-damped inverse of (L, 3, 3) landmark blocks via the closed-form adjugate
+    (one inverse reused for S, g and the landmark back-substitution). The damping is
+    trace-relative so unobserved (all-zero) blocks stay benignly invertible."""
+    Hll_d = Hll + (damping * jnp.maximum(
+        jnp.trace(Hll, axis1=-2, axis2=-1), 1e-6)[..., None, None] / 3.0 + 1e-8
+    ) * jnp.eye(3)
     det = jnp.linalg.det(Hll_d)
     adj = jnp.stack([
         jnp.stack([Hll_d[..., 1, 1] * Hll_d[..., 2, 2] - Hll_d[..., 1, 2] * Hll_d[..., 2, 1],
@@ -175,18 +182,7 @@ def _assemble_reduced_system(r, Jp, Jl, w, obs_lm, L, damping):
                    Hll_d[..., 0, 1] * Hll_d[..., 2, 0] - Hll_d[..., 0, 0] * Hll_d[..., 2, 1],
                    Hll_d[..., 0, 0] * Hll_d[..., 1, 1] - Hll_d[..., 0, 1] * Hll_d[..., 1, 0]], axis=-1),
     ], axis=-2)
-    inv3 = adj / det[..., None, None].clip(1e-12)                # (L, 3, 3)
-
-    U_t = jnp.swapaxes(U.reshape(L, P * 6, 3), -1, -2)           # (L, 3, 6P)
-    Hll_inv_Ut = inv3 @ U_t                                      # (L, 3, 6P)
-    S_corr = jnp.einsum("lak,lkb->ab",
-                        U.reshape(L, P * 6, 3), Hll_inv_Ut)      # (6P, 6P)
-    g_corr = jnp.einsum("lak,lk->a", U.reshape(L, P * 6, 3),
-                        (inv3 @ bl[..., None])[..., 0])          # (6P,)
-
-    S = jax.scipy.linalg.block_diag(*[Hpp[p] for p in range(P)]) - S_corr
-    g = bp.reshape(P * 6) - g_corr
-    return S, g, (inv3, bl, U)
+    return adj / det[..., None, None].clip(1e-12)                # (L, 3, 3)
 
 
 def _backsub_landmarks(delta_pose_flat, lm_terms):

@@ -1,4 +1,4 @@
-"""R2D2 training loop: optax AdamW, dp-sharded batches, NaN guard, orbax checkpoints.
+"""R2D2 training loop: optax AdamW, dp-sharded batches, NaN guard, npz checkpoints.
 
 Counterpart of the reference's trainer (tools/trainer.py:13-72 + train.py:59-136) with
 the TPU idioms: the whole step (pair synthesis -> two forwards -> losses -> grads ->
@@ -82,13 +82,26 @@ def _normalize(img):
 
 @partial(jax.jit, static_argnames=("spec", "cfg"), donate_argnums=(0,))
 def train_step(state: TrainState, key, spec: PatchNetSpec, cfg: TrainConfig):
-    """One full step: synthesize pairs, forward both, loss, grads, update.
+    """One full step: synthesize pairs on device, forward both, loss, grads, update.
 
     Returns (new_state, metrics). NaN-guarded: a non-finite loss skips the update
     (the reference's trainer asserts and dies, tools/trainer.py:55; we hold instead).
     """
-    img1, img2, flow, mask = synthetic_pair_batch(key, cfg.batch, cfg.height,
-                                                  cfg.width, cfg.photometric)
+    batch = synthetic_pair_batch(key, cfg.batch, cfg.height, cfg.width,
+                                 cfg.photometric)
+    return train_step_batch(state, batch, spec, cfg)
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def train_step_batch(state: TrainState, batch, spec: PatchNetSpec, cfg: TrainConfig):
+    """One step on an explicit (img1, img2, flow, mask) batch.
+
+    This is the data-parallel entry point: place the batch with a NamedSharding over
+    the ``data`` mesh axis (params replicated) and GSPMD partitions the two forwards /
+    loss over devices with one gradient all-reduce — asserted by the multichip dryrun
+    (__graft_entry__.dryrun_multichip checks the compiled HLO and shard shapes).
+    """
+    img1, img2, flow, mask = batch
 
     def loss_fn(params):
         out1 = apply_patchnet(params, spec, _normalize(img1), train=True)
@@ -117,19 +130,34 @@ def train_step(state: TrainState, key, spec: PatchNetSpec, cfg: TrainConfig):
 
 
 def save_checkpoint(path: str, state: TrainState, spec_name: str) -> None:
-    """Pickle-free checkpoint: params + opt state + step as npz trees."""
-    import pickle
+    """Checkpoint the full train state (params + optimizer + step) as one npz.
 
-    flat, treedef = jax.tree.flatten(jax.tree.map(np.asarray, state))
-    with open(path, "wb") as f:
-        pickle.dump({"flat": flat, "treedef_repr": str(treedef),
-                     "spec": spec_name, "step": int(state.step)}, f)
+    Pickle-free by construction: leaves are stored as indexed npz arrays and the tree
+    structure as a JSON sidecar entry, so loading never executes stored code (the
+    reference ``eval()``s an architecture string out of its .pt files, R2D2.py:71)."""
+    import json
+
+    flat, treedef = jax.tree.flatten(state)
+    meta = json.dumps({"spec": spec_name, "step": int(state.step),
+                       "treedef": str(treedef), "n_leaves": len(flat)})
+    arrays = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(flat)}
+    with open(path, "wb") as f:  # exact path (np.savez would append .npz)
+        np.savez(f, __meta__=np.frombuffer(meta.encode(), np.uint8), **arrays)
 
 
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
-    import pickle
+    """Load a ``save_checkpoint`` npz. The template supplies the tree structure and is
+    validated against the saved treedef — a mismatched optimizer/model raises instead
+    of silently mis-assigning leaves."""
+    import json
 
     with open(path, "rb") as f:
-        blob = pickle.load(f)
-    _, treedef = jax.tree.flatten(template)
-    return jax.tree.unflatten(treedef, [jnp.asarray(x) for x in blob["flat"]])
+        blob = np.load(f)
+        meta = json.loads(bytes(blob["__meta__"].tobytes()).decode())
+        flat_t, treedef = jax.tree.flatten(template)
+        if meta["treedef"] != str(treedef) or meta["n_leaves"] != len(flat_t):
+            raise ValueError(
+                f"checkpoint tree mismatch: saved {meta['n_leaves']} leaves / "
+                f"{meta['treedef'][:120]}..., template has {len(flat_t)}")
+        flat = [jnp.asarray(blob[f"leaf_{i:05d}"]) for i in range(meta["n_leaves"])]
+    return jax.tree.unflatten(treedef, flat)
