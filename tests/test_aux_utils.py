@@ -159,19 +159,58 @@ class TestDebug:
 
 
 class TestKaptureExport:
-    def test_layout_and_roundtrip(self, tmp_path):
+    def _feats(self):
         from types import SimpleNamespace
 
-        from vo_tpu.runners.extract import save_kapture_features
-
-        feats = SimpleNamespace(
+        return SimpleNamespace(
             kp=np.array([[[1.0, 2.0, 1.0], [3.0, 4.0, 0.5], [0, 0, 0]]]),
             desc=np.random.default_rng(0).normal(size=(1, 3, 128)).astype(np.float32),
             valid=np.array([[True, True, False]]))
+
+    def test_layout_and_roundtrip(self, tmp_path):
+        from vo_tpu.runners.extract import load_kapture_features, save_kapture_features
+
+        feats = self._feats()
         kpath, dpath = save_kapture_features(str(tmp_path), "r2d2", "img0.png",
                                              feats, 0)
-        kp = np.fromfile(kpath, np.float32).reshape(-1, 3)
-        desc = np.fromfile(dpath, np.float32).reshape(-1, 128)
+        # strict parse-back through the documented kapture 1.x CSV headers
+        kp, desc = load_kapture_features(str(tmp_path), "r2d2", "img0.png")
         assert kp.shape == (2, 3) and desc.shape == (2, 128)
         np.testing.assert_allclose(desc, feats.desc[0, :2])
-        assert os.path.exists(tmp_path / "reconstruction/keypoints/r2d2/keypoints.txt")
+        np.testing.assert_allclose(kp, feats.kp[0, :2])
+
+    def test_csv_headers_and_subpath(self, tmp_path):
+        """kapture 1.x type headers are CSV tables, and features mirror the image's
+        path relative to the records root (same-named images in different dirs must
+        not collide) — ADVICE.md round-1 medium finding."""
+        from vo_tpu.runners.extract import save_kapture_features
+
+        feats = self._feats()
+        img_root = tmp_path / "records"
+        for sub in ("camA", "camB"):
+            (img_root / sub).mkdir(parents=True)
+            (img_root / sub / "img0.png").touch()
+        p1, _ = save_kapture_features(str(tmp_path), "r2d2",
+                                      str(img_root / "camA" / "img0.png"), feats, 0,
+                                      image_root=str(img_root))
+        p2, _ = save_kapture_features(str(tmp_path), "r2d2",
+                                      str(img_root / "camB" / "img0.png"), feats, 0,
+                                      image_root=str(img_root))
+        assert p1 != p2
+        assert p1.endswith("reconstruction/keypoints/r2d2/camA/img0.png.kpt")
+
+        lines = (tmp_path / "reconstruction/keypoints/r2d2/keypoints.txt"
+                 ).read_text().splitlines()
+        assert lines[0].startswith("# kapture format: 1.")
+        assert [c.strip() for c in lines[1].split(",")] == ["name", "dtype", "dsize"]
+        assert [c.strip() for c in lines[2].split(",")] == ["r2d2", "float32", "3"]
+        dlines = (tmp_path / "reconstruction/descriptors/r2d2/descriptors.txt"
+                  ).read_text().splitlines()
+        assert [c.strip() for c in dlines[1].split(",")] == [
+            "name", "dtype", "dsize", "keypoints_type", "metric_type"]
+        assert [c.strip() for c in dlines[2].split(",")] == [
+            "r2d2", "float32", "128", "r2d2", "L2"]
+
+        with pytest.raises(ValueError, match="not under"):
+            save_kapture_features(str(tmp_path), "r2d2", "/elsewhere/img.png",
+                                  feats, 0, image_root=str(img_root))

@@ -72,6 +72,24 @@ class TestDetector:
         kp, _, valid = detect_keypoints(resp, max_kp=128)
         assert kp.shape == (3, 128, 2)
 
+    def test_budget_exceeds_cell_count(self, rng):
+        """max_kp above the 2x2-cell count (tiny pyramid level, big per-scale budget)
+        must fall back to a flat top_k instead of erroring (ADVICE round-1)."""
+        img = make_textured_image(rng, H=24, W=32)
+        resp = harris_response(jnp.asarray(img[None]))
+        kp, score, valid = detect_keypoints(resp, max_kp=512, border=2)
+        assert kp.shape == (1, 512, 2) and valid.shape == (1, 512)
+        v = np.asarray(valid[0])
+        assert 0 < v.sum() < 512
+        assert np.all(np.asarray(kp[0])[~v] == 0)
+
+    def test_budget_exceeds_pixel_count(self, rng):
+        img = make_textured_image(rng, H=12, W=12)
+        resp = harris_response(jnp.asarray(img[None]))
+        kp, score, valid = detect_keypoints(resp, max_kp=256, border=1)
+        assert kp.shape == (1, 256, 2)
+        assert np.asarray(valid[0]).sum() < 144
+
 
 class TestExtractorAndMatching:
     @pytest.fixture(scope="class")

@@ -1,0 +1,143 @@
+"""Loop closure, streaming pipeline, and the full vo_run CLI (--refine, viz)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vo_tpu.engine import VOConfig
+from vo_tpu.engine.loop_closure import (LoopClosureConfig, detect_loop_closures,
+                                        optimize_with_loops)
+from vo_tpu.engine.pipeline import (extract_and_backproject, run_offline_vo,
+                                    run_offline_vo_streaming)
+from vo_tpu.estimation import PnPConfig
+from vo_tpu.features import OrbLikeExtractor
+from vo_tpu.geometry import so3_exp, pose_from_rt
+from vo_tpu.utils.synthetic import render_sequence
+
+K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
+
+
+class TestLoopClosure:
+    def test_closes_a_drifted_loop(self, rng):
+        # Full circle: end of the trajectory revisits the start.
+        F = 40
+        imgs, deps, gt = render_sequence(F, K, H=240, W=320, step=0.8,
+                                         yaw_rate=2 * np.pi / (F * 0.8))
+        ex = OrbLikeExtractor(max_kp=512)
+        feats, kp3d = extract_and_backproject(ex, jnp.asarray(imgs),
+                                              jnp.asarray(deps), jnp.asarray(K))
+        # Accumulated odometry drift.
+        noisy = gt.copy()
+        for i in range(1, F):
+            rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+            dw = rng.normal(0, 0.004, 3).astype(np.float32)
+            dt = rng.normal(0, 0.02, 3).astype(np.float32)
+            dT = np.asarray(pose_from_rt(so3_exp(jnp.asarray(dw[None]))[0],
+                                         jnp.asarray(dt)))
+            noisy[i] = noisy[i - 1] @ (rel @ dT)
+
+        kfs = np.arange(0, F, 3)
+        cfg = LoopClosureConfig(min_gap=6, radius=8.0)
+        edges = detect_loop_closures(kfs, noisy, feats.kp, feats.desc, feats.valid,
+                                     kp3d, K, cfg)
+        assert len(edges) >= 1, "revisit not detected"
+        # every verified edge joins far-apart keyframes
+        assert all(b - a >= cfg.min_gap for a, b, _, _ in edges)
+
+        closed, info = optimize_with_loops(noisy, kfs, edges, cfg)
+        e_before = np.linalg.norm(noisy[:, :3, 3] - gt[:, :3, 3], axis=1)
+        e_after = np.linalg.norm(closed[:, :3, 3] - gt[:, :3, 3], axis=1)
+        assert e_after[-1] < 0.5 * e_before[-1], (e_before[-1], e_after[-1])
+        assert e_after.mean() < e_before.mean()
+
+    def test_no_loops_is_identity(self, rng):
+        F = 12
+        _, _, gt = render_sequence(F, K, H=120, W=160, step=0.8)
+        kfs = np.arange(0, F, 3)
+        out, info = optimize_with_loops(gt.astype(np.float32), kfs, [],
+                                        LoopClosureConfig())
+        assert info["n_loop_edges"] == 0
+        assert np.allclose(out, gt, atol=1e-3)
+
+
+class TestStreamingPipeline:
+    def test_matches_in_memory_path(self):
+        F = 10
+        imgs, deps, gt = render_sequence(F, K, H=240, W=320, step=0.8)
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+        poses_mem, diag_mem = run_offline_vo(imgs, deps, K, vo_config=cfg,
+                                             extractor=ex)
+
+        def batches(B=4):
+            for s in range(0, F, B):
+                idx = np.arange(s, min(s + B, F))
+                idx = np.concatenate([idx, np.full(B - len(idx), F - 1)])
+                yield s, imgs[idx], deps[idx]
+
+        poses_st, diag_st, (feats, kp3d) = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex)
+        assert np.allclose(poses_mem, poses_st, atol=1e-4)
+        assert feats.kp.shape[0] == F and kp3d.shape[0] == F
+
+    def test_decode_error_propagates(self):
+        def bad_batches():
+            raise RuntimeError("decode exploded")
+            yield  # pragma: no cover
+
+        with pytest.raises(RuntimeError, match="decode exploded"):
+            run_offline_vo_streaming(bad_batches(), 4, K)
+
+
+def _write_sequence_dir(tmp_path, imgs, deps):
+    from PIL import Image
+
+    for i, (im, dp) in enumerate(zip(imgs, deps)):
+        rgb = np.stack([np.clip(im, 0, 255).astype(np.uint8)] * 3, -1)
+        Image.fromarray(rgb).save(tmp_path / f"{i:06d}.png")
+        np.save(tmp_path / f"{i:06d}_depth.npy", dp)
+
+
+class TestRunnerCLI:
+    def test_vo_run_with_refine_and_viz(self, tmp_path):
+        from vo_tpu.runners import vo_run
+
+        F = 14
+        imgs, deps, gt = render_sequence(F, K, H=240, W=320, step=0.8)
+        seq_dir = tmp_path / "seq"
+        seq_dir.mkdir()
+        _write_sequence_dir(seq_dir, imgs, deps)
+
+        out = tmp_path / "poses"
+        cfg_yaml = tmp_path / "cfg.yaml"
+        cfg_yaml.write_text(
+            f"""
+feature_extractor: orb
+image_path: {seq_dir}
+camera_intrinsic_matrix: [260.0, 0.0, 160.0, 0.0, 260.0, 120.0, 0.0, 0.0, 1.0]
+output_filename: {out}
+visualize_results: true
+max_keypoints: 512
+extraction_batch: 8
+kf_min_matches: 60
+kf_min_inliers: 30
+pnp_min_inliers: 15
+pnp_n_hypotheses: 256
+""")
+        rc = vo_run.main(["--config", str(cfg_yaml), "--refine"])
+        assert rc == 0
+        poses = np.load(str(out) + ".npy")
+        assert poses.shape == (F, 4, 4)
+        # trajectory still sane after refinement
+        err = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+        total = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+        assert err[-1] < 0.1 * total
+        # visualize_results wrote the reference-style overlays
+        viz = tmp_path / "poses_viz"
+        names = {p.name for p in viz.iterdir()}
+        assert "trajectory.png" in names
+        assert any(n.startswith("kps_") for n in names)
+        assert any(n.startswith("matches_") for n in names)

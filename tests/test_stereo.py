@@ -22,7 +22,7 @@ def make_stereo_pair():
 
 def test_stereo_depth_matches_gt():
     left, right, dep_gt = make_stereo_pair()
-    ex = OrbLikeExtractor(max_kp=256, brief_impl="xla")
+    ex = OrbLikeExtractor(max_kp=256)
     feats = ex(jnp.asarray(left[None]))
     kp = feats.kp[0]
     valid = feats.valid[0]

@@ -47,11 +47,11 @@ def dense_packed_brief(gray: jnp.ndarray, bits: int = BRIEF_BITS,
     smoothed = gaussian_blur(gray, blur_sigma)
     pad = _PATTERN_RADIUS
     B, H, W = gray.shape
-    # bf16 halves the HBM traffic of the 256 shifted compares. Precision matches
-    # classic BRIEF semantics: bf16 resolves >= uint8 steps across 0..255, and the
-    # original formulation compares *uint8* smoothed intensities anyway. The Pallas
-    # fast path (ops/pallas_brief.py) applies the identical cast so both paths stay
-    # bit-identical.
+    # bf16 halves the HBM traffic of the 256 shifted compares. This is a deliberate
+    # re-quantization of the blurred intensities to ~uint8 resolution (bf16 has ~8
+    # significant bits, so non-integer values in [128, 255] round to ulp 1.0) — the
+    # same resolution classic BRIEF's uint8 compares see, but NOT bit-parity with an
+    # f32 compare path.
     xp = jnp.pad(smoothed.astype(jnp.bfloat16), ((0, 0), (pad, pad), (pad, pad)))
 
     words = []

@@ -92,6 +92,19 @@ def detect_keypoints(
     # inside each selected cell is recovered by a tiny 4-point gather afterwards,
     # keeping the dense phase reduction-only.
     Hp, Wp = H + (H % 2), W + (W % 2)
+    if max_kp > (Hp // 2) * (Wp // 2):
+        # Tiny image / large budget: the cell reduction cannot supply max_kp
+        # candidates (lax.top_k over fewer elements than k errors) — flat top_k.
+        score, idx = jax.lax.top_k(masked.reshape(B, -1), min(max_kp, H * W))
+        pad_k = max_kp - score.shape[1]
+        if pad_k:
+            score = jnp.pad(score, ((0, 0), (0, pad_k)), constant_values=-jnp.inf)
+            idx = jnp.pad(idx, ((0, 0), (0, pad_k)))
+        y = (idx // W).astype(jnp.float32)
+        x = (idx % W).astype(jnp.float32)
+        valid = jnp.isfinite(score)
+        kp = jnp.stack([jnp.where(valid, x, 0.0), jnp.where(valid, y, 0.0)], axis=-1)
+        return kp, jnp.where(valid, score, 0.0), valid
     if (Hp, Wp) != (H, W):
         masked = jnp.pad(masked, ((0, 0), (0, Hp - H), (0, Wp - W)),
                          constant_values=-jnp.inf)

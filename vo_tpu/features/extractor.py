@@ -47,14 +47,12 @@ class OrbLikeExtractor:
                               # False: upright dense-packed BRIEF (TPU fast path)
     descriptor: str = "brief"  # 'brief' (binary ±1) | 'gradhist' (SIFT-style float)
                                # | 'surf' (upright Haar SURF-64 float)
-    brief_impl: str = "auto"   # 'auto' | 'pallas' | 'xla' — dense-BRIEF backend.
-                               # 'auto' currently resolves to XLA everywhere: on the
-                               # available v5e toolchain the compiled Pallas kernel
-                               # mis-lowers a subset of the unaligned VMEM slices
-                               # (interpret-mode parity is exact; see
-                               # tests/test_pallas_kernels.py) and XLA's own fusion of
-                               # the shift-compare chain is already bandwidth-optimal
-                               # (~3.3 ms/frame at 376x1232).
+    # Note on the dense-BRIEF backend: a fused Pallas kernel for the shift-compare-pack
+    # chain was built, made bit-exact on v5e, measured, and REMOVED: XLA's own fusion
+    # runs 0.76 ms/frame at 376x1232 (within ~2x of the VPU compare floor) vs 0.95 ms
+    # for the best Pallas variant — the unaligned lane slices need per-compare vector
+    # realignment and Mosaic miscompiles the cheaper bf16-compare form. Matching stays
+    # Pallas (ops/pallas_match.py), where the fusion win is real.
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, images: jnp.ndarray) -> Features:
@@ -89,18 +87,10 @@ class OrbLikeExtractor:
             desc = jax.vmap(
                 lambda g, k, v: oriented_brief_descriptors(g, k, v, bits=self.bits)
             )(gray, kp, valid)
-        elif self._use_pallas():
-            from vo_tpu.ops.pallas_brief import upright_brief_descriptors_pallas
-
-            desc = upright_brief_descriptors_pallas(gray, kp, valid, bits=self.bits)
         else:
             desc = upright_brief_descriptors(gray, kp, valid, bits=self.bits)
         return Features(kp=kp, desc=desc, score=score, valid=valid)
 
-    def _use_pallas(self) -> bool:
-        return self.brief_impl == "pallas"
-
     def __hash__(self):
         return hash((self.max_kp, self.nms_size, self.rel_threshold, self.border,
-                     self.bits, self.response, self.oriented, self.descriptor,
-                     self.brief_impl))
+                     self.bits, self.response, self.oriented, self.descriptor))

@@ -77,7 +77,10 @@ def hessian_response(gray: jnp.ndarray, lobes: tuple[int, ...] = (3, 5, 7)) -> j
         dyy = _shift(t, -L, axis=1) - 2.0 * t + _shift(t, L, axis=1)
         # Dxy: LxL quadrant boxes offset diagonally by (L+1)/2 from center.
         q = _box_sum_1d(_box_sum_1d(gray, L, axis=1), L, axis=2)
-        o = (L + 1) // 2 + L // 2  # quadrant center offset
+        # Canonical SURF places the LxL quadrants adjacent to the center cross: their
+        # centers sit at +/-(L+1)/2 from the filter center (ADVICE round-1: +/-L left
+        # a gap and weakened the Dxy response).
+        o = (L + 1) // 2
         pp = _shift(_shift(q, o, axis=1), o, axis=2)
         mm = _shift(_shift(q, -o, axis=1), -o, axis=2)
         pm = _shift(_shift(q, o, axis=1), -o, axis=2)

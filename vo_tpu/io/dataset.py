@@ -45,13 +45,13 @@ class RGBDSequence:
     def __getitem__(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         return load_rgbd_pair(self.image_files[i], self.depth_files[i])
 
-    def iter_batches(self, batch: int):
+    def iter_batches(self, batch: int, limit: int = 0):
         """Yield (idx0, rgb [B,H,W,3] uint8, depth [B,H,W] f32) contiguous batches.
 
         The last batch is padded by repeating the final frame so shapes stay static for
         the jitted extractor; the caller trims by sequence length.
         """
-        n = len(self)
+        n = len(self) if not limit else min(limit, len(self))
         for start in range(0, n, batch):
             idxs = list(range(start, min(start + batch, n)))
             pad = batch - len(idxs)

@@ -102,6 +102,24 @@ class NativeRGBDSequence:
                 return
             yield fr
 
+    def iter_batches(self, batch: int, limit: int = 0):
+        """Yield (start, rgb (B, H, W, 3) uint8, depth (B, H, W) f32) fixed-size
+        batches; the tail is padded by repeating the final frame (same contract as
+        RGBDSequence.iter_batches) so jitted extraction sees one static shape. The C++
+        prefetch pool keeps decoding ahead while the caller computes."""
+        n = self.n_frames if not limit else min(limit, self.n_frames)
+        start = 0
+        while start < n:
+            frames = [self.next_frame() for _ in range(min(batch, n - start))]
+            frames = [f for f in frames if f is not None]
+            if not frames:
+                return
+            while len(frames) < batch:
+                frames.append(frames[-1])
+            yield (start, np.stack([f[0] for f in frames]),
+                   np.stack([f[1] for f in frames]))
+            start += batch
+
     def close(self):
         if self._h:
             self._lib.vol_close(self._h)

@@ -50,6 +50,10 @@ def main(argv=None) -> int:
     ap.add_argument("--kapture-root", default=None,
                     help="also write kapture-layout binary features under this root "
                          "(reconstruction/{keypoints,descriptors}/<tag>/<image>...)")
+    ap.add_argument("--kapture-image-root", default=None,
+                    help="base directory the kapture feature paths are relative to "
+                         "(kapture keys features by the image's relative path); "
+                         "defaults to the image's own directory")
     args = ap.parse_args(argv)
 
     from vo_tpu.io.dataset import _read_png_rgb
@@ -80,38 +84,82 @@ def main(argv=None) -> int:
                 n = int(np.asarray(feats.valid[i]).sum())
                 print(f"Saving {n} keypoints to {out}")
                 if args.kapture_root:
-                    save_kapture_features(args.kapture_root, args.tag, p, feats, i)
+                    save_kapture_features(args.kapture_root, args.tag, p, feats, i,
+                                          image_root=args.kapture_image_root)
     return 0
 
 
 def save_kapture_features(root: str, tag: str, image_path: str, feats,
-                          frame: int) -> tuple[str, str]:
+                          frame: int, image_root: str | None = None) -> tuple[str, str]:
     """Write one image's features in kapture's binary layout — the reference's
-    extract_kapture.py output (reconstruction/keypoints/<type>/<image>.kpt as raw
-    float32 Nx3 [x, y, scale], reconstruction/descriptors/<type>/<image>.desc as raw
-    float32 NxD), plus the .txt type headers kapture expects."""
+    extract_kapture.py output (reconstruction/keypoints/<type>/<rel-image>.kpt as raw
+    float32 Nx3 [x, y, scale], reconstruction/descriptors/<type>/<rel-image>.desc as
+    raw float32 NxD), plus the kapture 1.x CSV type headers.
+
+    kapture keys features by the image's path *relative to the records root*, so the
+    binary files mirror that subpath (pass ``image_root``; defaults to the image's own
+    directory, i.e. flat). The type headers are CSV tables ('name, dtype, dsize' row)
+    — the form ``kapture_from_dir`` parses — not key=value lines."""
     import os
 
     v = np.asarray(feats.valid[frame])
     kp = np.asarray(feats.kp[frame])[v].astype(np.float32)        # (N, 3) x, y, scale
     desc = np.asarray(feats.desc[frame])[v].astype(np.float32)    # (N, D)
 
-    name = os.path.basename(image_path)
+    rel = (os.path.relpath(image_path, image_root) if image_root
+           else os.path.basename(image_path))
+    if rel.startswith(".."):
+        raise ValueError(f"{image_path!r} is not under --kapture-image-root "
+                         f"{image_root!r}")
     kdir = os.path.join(root, "reconstruction", "keypoints", tag)
     ddir = os.path.join(root, "reconstruction", "descriptors", tag)
-    os.makedirs(kdir, exist_ok=True)
-    os.makedirs(ddir, exist_ok=True)
-    kpath = os.path.join(kdir, name + ".kpt")
-    dpath = os.path.join(ddir, name + ".desc")
+    kpath = os.path.join(kdir, rel + ".kpt")
+    dpath = os.path.join(ddir, rel + ".desc")
+    os.makedirs(os.path.dirname(kpath), exist_ok=True)
+    os.makedirs(os.path.dirname(dpath), exist_ok=True)
     kp.tofile(kpath)
     desc.tofile(dpath)
-    # Type headers (kapture 1.x csv format line + dtype/dsize).
+    # Type headers: kapture 1.x CSV tables (column-header row + one data row).
     with open(os.path.join(kdir, "keypoints.txt"), "w") as f:
-        f.write(f"# kapture format: 1.1\nname={tag}\ndtype=float32\ndsize={kp.shape[1]}\n")
+        f.write("# kapture format: 1.1\n"
+                "name, dtype, dsize\n"
+                f"{tag}, float32, {kp.shape[1]}\n")
     with open(os.path.join(ddir, "descriptors.txt"), "w") as f:
-        f.write(f"# kapture format: 1.1\nname={tag}\nkeypoints_type={tag}\n"
-                f"dtype=float32\ndsize={desc.shape[1]}\nmetric_type=L2\n")
+        f.write("# kapture format: 1.1\n"
+                "name, dtype, dsize, keypoints_type, metric_type\n"
+                f"{tag}, float32, {desc.shape[1]}, {tag}, L2\n")
     return kpath, dpath
+
+
+def load_kapture_features(root: str, tag: str, rel_image: str):
+    """Parse back a ``save_kapture_features`` tree (strict kapture 1.x CSV headers).
+
+    Returns (kp (N, 3) f32, desc (N, D) f32). Raises on malformed headers — this is
+    the round-trip check standing in for the kapture package (not installed here)."""
+    import os
+
+    def read_table(path, expected_cols):
+        with open(path) as f:
+            lines = [l.strip() for l in f.read().splitlines() if l.strip()]
+        if not lines[0].startswith("# kapture format: 1."):
+            raise ValueError(f"{path}: missing kapture format line")
+        cols = [c.strip() for c in lines[1].split(",")]
+        if cols[:len(expected_cols)] != expected_cols:
+            raise ValueError(f"{path}: bad column header {cols}")
+        row = [c.strip() for c in lines[2].split(",")]
+        return dict(zip(cols, row))
+
+    kdir = os.path.join(root, "reconstruction", "keypoints", tag)
+    ddir = os.path.join(root, "reconstruction", "descriptors", tag)
+    kmeta = read_table(os.path.join(kdir, "keypoints.txt"),
+                       ["name", "dtype", "dsize"])
+    dmeta = read_table(os.path.join(ddir, "descriptors.txt"),
+                       ["name", "dtype", "dsize", "keypoints_type", "metric_type"])
+    kp = np.fromfile(os.path.join(kdir, rel_image + ".kpt"),
+                     dtype=np.dtype(kmeta["dtype"])).reshape(-1, int(kmeta["dsize"]))
+    desc = np.fromfile(os.path.join(ddir, rel_image + ".desc"),
+                       dtype=np.dtype(dmeta["dtype"])).reshape(-1, int(dmeta["dsize"]))
+    return kp, desc
 
 
 if __name__ == "__main__":

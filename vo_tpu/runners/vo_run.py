@@ -2,23 +2,29 @@
 
 Usage:
     python -m vo_tpu.runners.vo_run --config config/vo_params.yaml
-    python -m vo_tpu.runners.vo_run --config cfg.yaml --eval   # also score vs GT
+    python -m vo_tpu.runners.vo_run --config cfg.yaml --eval      # also score vs GT
+    python -m vo_tpu.runners.vo_run --config cfg.yaml --refine    # BA + pose graph
 
-Reads *.png + *_depth.npy pairs from ``image_path`` (vo_stereo_runner.py:38-39 contract),
-runs the batched TPU pipeline, writes ``<output_filename>.npy`` (stacked 4x4 poses, same
-as vo_stereo_runner.py:60), and optionally evaluates against ``gt_txt_file_path``.
+Reads *.png + *_depth.npy pairs from ``image_path`` (vo_stereo_runner.py:38-39 contract)
+streaming in fixed-size batches — decode (native C++ prefetcher when built, PIL
+otherwise) overlaps device compute and peak RAM is O(batch), not O(sequence). Writes
+``<output_filename>.npy`` (stacked 4x4 poses, vo_stereo_runner.py:60), optionally
+BA+PGO-refines the trajectory (--refine; capability the reference lacks), renders the
+reference's ``visualize_results`` overlays (VisualOdometry_Stereo.py:162-178), and
+optionally evaluates against ``gt_txt_file_path``.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
 from vo_tpu.config import RunConfig
-from vo_tpu.engine.pipeline import run_offline_vo
+from vo_tpu.engine.pipeline import run_offline_vo_streaming
 from vo_tpu.evalkit import KittiOdomEvaluator
 from vo_tpu.evalkit.kitti import load_poses_txt
 from vo_tpu.features.extractor import OrbLikeExtractor
@@ -41,68 +47,130 @@ def build_extractor(cfg: RunConfig):
     raise ValueError(f"unknown feature_extractor {cfg.feature_extractor!r}")
 
 
+def refine_poses(poses, feats, kp3d, K, diag):
+    """BA-refine keyframe windows, then close loops with a pose graph.
+
+    The north-star layer the reference lacks (it chains poses open-loop,
+    VisualOdometry_Stereo.py:283,292)."""
+    from vo_tpu.engine.loop_closure import detect_loop_closures, optimize_with_loops
+    from vo_tpu.engine.refine import refine_trajectory
+
+    refined, info = refine_trajectory(
+        poses, feats.kp, feats.desc, feats.valid, kp3d, K,
+        diag_promoted=np.asarray(diag.promoted_keyframe))
+    kfs = info["keyframes"]
+    print(f"[refine] BA over {len(info['windows'])} windows, "
+          f"{len(kfs)} keyframes")
+    edges = detect_loop_closures(kfs, refined, feats.kp, feats.desc, feats.valid,
+                                 kp3d, K)
+    refined, lc = optimize_with_loops(refined, kfs, edges)
+    print(f"[refine] pose graph: {lc['n_loop_edges']} loop edges, "
+          f"cost {lc['pgo_cost'][0]:.4f} -> {lc['pgo_cost'][-1]:.4f}")
+    return refined
+
+
+def write_visualizations(out_dir, image_path, feats, vo_cfg, poses, gt=None,
+                         stride: int = 1, max_frames: int = 400):
+    """The reference's visualize_results overlays (VisualOdometry_Stereo.py:162-178):
+    per-frame keypoint draws + consecutive-frame match overlays + trajectory plot.
+    Frames are re-read lazily (the streaming run keeps no pixels in memory)."""
+    from vo_tpu.evalkit.plotting import (draw_keypoints, draw_matches,
+                                         plot_trajectories)
+    from vo_tpu.matching.matchers import ratio_match, ratio_mutual_nn_match
+
+    os.makedirs(out_dir, exist_ok=True)
+    plot_trajectories(os.path.join(out_dir, "trajectory.png"), poses, gt=gt)
+
+    seq = RGBDSequence.from_dir(image_path)
+    n = min(len(seq), feats.kp.shape[0], max_frames)
+    binary = vo_cfg.matcher == "ratio_binary"
+    prev = None
+    for i in range(0, n, stride):
+        img, _ = seq[i]
+        draw_keypoints(os.path.join(out_dir, f"kps_{i:06d}.png"),
+                       img, np.asarray(feats.kp[i]), np.asarray(feats.valid[i]))
+        if prev is not None:
+            j, pimg = prev
+            if binary:
+                m = ratio_match(feats.desc[j], feats.desc[i], feats.valid[j],
+                                feats.valid[i], ratio=vo_cfg.ratio,
+                                binary_dim=feats.desc.shape[-1])
+            else:
+                m = ratio_mutual_nn_match(feats.desc[j], feats.desc[i],
+                                          feats.valid[j], feats.valid[i],
+                                          ratio=vo_cfg.ratio)
+            mask = np.asarray(m.mask)
+            kp1 = np.asarray(feats.kp[j])[mask]
+            kp2 = np.asarray(feats.kp[i])[np.asarray(m.idx)[mask]]
+            draw_matches(os.path.join(out_dir, f"matches_{j:06d}_{i:06d}.png"),
+                         pimg, img, kp1, kp2, stride=max(len(kp1) // 80, 1))
+        prev = (i, img)
+    print(f"[viz] wrote overlays for {n} frames to {out_dir}/")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", required=True)
     ap.add_argument("--eval", action="store_true", help="score against gt_txt_file_path")
+    ap.add_argument("--refine", action="store_true",
+                    help="windowed BA + loop-closure pose graph on the trajectory")
     ap.add_argument("--limit", type=int, default=0, help="process only the first N frames")
     args = ap.parse_args(argv)
 
     cfg = RunConfig.from_yaml(args.config)
+    K = cfg.camera_intrinsic_matrix
 
     # Prefer the native C++ decode+prefetch loader when built (native/vo_loader.cpp);
-    # fall back to the PIL-based reader.
+    # fall back to the PIL-based reader. Both stream fixed-size padded batches.
     from vo_tpu.io.native import NativeRGBDSequence
 
     nat = NativeRGBDSequence.try_open(cfg.image_path) if cfg.image_path else None
     if nat is not None:
-        n = len(nat)
-        if args.limit:
-            n = min(n, args.limit)
-        if n == 0:
-            print(f"no (*.png, *_depth.npy) pairs under {cfg.image_path!r}",
-                  file=sys.stderr)
-            return 2
-        print(f"[vo_tpu] {n} frames from {cfg.image_path} (native loader)")
-        pairs = []
-        for _ in range(n):
-            pairs.append(nat.next_frame())
-        nat.close()
-        imgs = np.stack([p[0] for p in pairs])
-        deps = np.stack([p[1] for p in pairs])
+        n = min(len(nat), args.limit) if args.limit else len(nat)
+        batches = nat.iter_batches(cfg.extraction_batch, limit=n)
+        loader = "native"
     else:
         seq = RGBDSequence.from_dir(cfg.image_path)
-        n = len(seq)
-        if args.limit:
-            n = min(n, args.limit)
-        if n == 0:
-            print(f"no (*.png, *_depth.npy) pairs under {cfg.image_path!r}",
-                  file=sys.stderr)
-            return 2
-        print(f"[vo_tpu] {n} frames from {cfg.image_path}")
-        imgs, deps = zip(*(seq[i] for i in range(n)))
-        imgs = np.stack(imgs)
-        deps = np.stack(deps)
+        n = min(len(seq), args.limit) if args.limit else len(seq)
+        batches = seq.iter_batches(cfg.extraction_batch, limit=n)
+        loader = "pil"
+    if n == 0:
+        print(f"no (*.png, *_depth.npy) pairs under {cfg.image_path!r}",
+              file=sys.stderr)
+        return 2
+    print(f"[vo_tpu] {n} frames from {cfg.image_path} "
+          f"({loader} loader, streaming batches of {cfg.extraction_batch})")
 
     extractor = build_extractor(cfg)
     t0 = time.time()
-    poses, diag = run_offline_vo(
-        imgs, deps, cfg.camera_intrinsic_matrix,
-        vo_config=cfg.vo, extractor=extractor,
-        extraction_batch=cfg.extraction_batch,
-    )
+    poses, diag, (feats, kp3d) = run_offline_vo_streaming(
+        batches, n, K, vo_config=cfg.vo, extractor=extractor)
     dt = time.time() - t0
-    print(f"[vo_tpu] {n} frames in {dt:.2f}s = {n / dt:.1f} fps "
+    if nat is not None:
+        nat.close()
+    print(f"[vo_tpu] {n} frames in {dt:.2f}s = {n / dt:.1f} fps io-included "
           f"(accept rate {np.mean(diag.accepted):.2f}, "
           f"mean inliers {np.mean(diag.n_inliers):.0f})")
+
+    if args.refine:
+        t1 = time.time()
+        poses = refine_poses(poses, feats, kp3d, K, diag)
+        print(f"[refine] done in {time.time() - t1:.2f}s")
 
     out = cfg.output_filename
     save_poses_npy(out, poses)
     print(f"[vo_tpu] wrote {out}.npy" if not out.endswith(".npy") else f"[vo_tpu] wrote {out}")
 
-    if args.eval and cfg.gt_txt_file_path:
+    gt = None
+    if cfg.gt_txt_file_path:
         mod = kitti_gt_to_modified_txt(cfg.gt_txt_file_path)
         gt = load_poses_txt(mod)
+
+    if cfg.visualize_results:
+        viz_dir = (out[:-4] if out.endswith(".npy") else out) + "_viz"
+        write_visualizations(viz_dir, cfg.image_path, feats, cfg.vo, poses, gt=gt)
+
+    if args.eval and gt is not None:
         res = KittiOdomEvaluator().evaluate(gt, poses)
         print(f"[eval] seg trans {res.seg_trans_err_pct:.2f}%  "
               f"seg rot {res.seg_rot_err_deg_per_100m:.3f} deg/100m  "

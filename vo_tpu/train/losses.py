@@ -158,10 +158,12 @@ def ngh_ap_reliability_loss(desc1: jnp.ndarray, desc2: jnp.ndarray, rel1: jnp.nd
     gx, gy = jnp.meshgrid(xs, ys)
     q_xy = jnp.stack([gx, gy], -1).reshape(-1, 2)                   # (Q, 2)
 
-    # Positive ring: center + 4 offsets at ~pos_d * (0.5, 1.0).
+    # Positive ring: center + 4 offsets at 0.5*pos_d + 4 at pos_d, covering the full
+    # pos_d neighborhood the reference's NghSampler2 implies (sampler.py:262-270).
     r = float(pos_d)
     pos_off = jnp.asarray([[0.0, 0.0], [r * 0.5, 0.0], [-r * 0.5, 0.0],
-                           [0.0, r * 0.5], [0.0, -r * 0.5]])        # (P, 2)
+                           [0.0, r * 0.5], [0.0, -r * 0.5],
+                           [r, 0.0], [-r, 0.0], [0.0, r], [0.0, -r]])   # (P, 2)
     # Hard-negative ring: 8 directions at radius in [neg_d0, neg_d1].
     angs = jnp.arange(8) * (2 * jnp.pi / 8)
     rad = 0.5 * (neg_d[0] + neg_d[1])
