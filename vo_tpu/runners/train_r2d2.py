@@ -2,10 +2,17 @@
 
     python -m vo_tpu.runners.train_r2d2 --steps 2000 --save-path out.ckpt
     python -m vo_tpu.runners.train_r2d2 --resume out.ckpt --steps 1000
+    python -m vo_tpu.runners.train_r2d2 --data-dir imgs/ --steps 2000   # real images
+    python -m vo_tpu.runners.train_r2d2 --data-dir imgs/ --flow-pairs flows/
 
-Differences from the reference (train.py:72-136): no eval()-based config — plain flags;
-pair synthesis is on-device (no CPU dataloader); checkpoints carry optimizer state and
-step so --resume continues exactly.
+Differences from the reference (train.py:72-136): no eval()-based config — plain flags.
+Two data paths:
+- default: fully on-device synthetic pair synthesis (zero input data);
+- ``--data-dir``: the real-image pipeline — still + synthetic-homography pairs from a
+  folder (plus stored-flow pairs via --flow-pairs), served through the random-window
+  crop search (vo_tpu.train.datasets, the PairLoader equivalent) with a background
+  prefetch thread feeding the jitted step.
+Checkpoints carry optimizer state and step so --resume continues exactly.
 """
 
 from __future__ import annotations
@@ -18,13 +25,45 @@ import jax
 import numpy as np
 
 from vo_tpu.models.patchnet import FAST_QUAD_L2NET_CONFCFS, QUAD_L2NET_CONFCFS
-from vo_tpu.train import TrainConfig, create_train_state, train_step
+from vo_tpu.train import TrainConfig, create_train_state, train_step, train_step_batch
 from vo_tpu.train.trainer import load_checkpoint, save_checkpoint
 
 ARCHS = {
     "fast_quad": FAST_QUAD_L2NET_CONFCFS,
     "quad": QUAD_L2NET_CONFCFS,
 }
+
+
+def real_image_batches(args, cfg, steps: int, prefetch: int = 4):
+    """Background-prefetched fixed-size batches from the real-image pipeline."""
+    import queue
+    import threading
+
+    from vo_tpu.train.datasets import (CatPairs, FlowPairs, ImageFolder,
+                                       RandomWindowPairLoader, StillPairs,
+                                       SyntheticHomographyPairs,
+                                       WindowLoaderConfig)
+
+    folder = ImageFolder(args.data_dir)
+    sources = [StillPairs(folder), SyntheticHomographyPairs(folder)]
+    if args.flow_pairs:
+        sources.append(FlowPairs(args.flow_pairs))
+    loader = RandomWindowPairLoader(
+        CatPairs(*sources),
+        WindowLoaderConfig(crop=cfg.height, seed=cfg.seed))
+    print(f"[train] real-image pipeline: {len(folder)} images, "
+          f"{len(loader)} pairs, crop {cfg.height}")
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def producer():
+        for _ in range(steps):
+            q.put(loader.batch(cfg.batch))
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while (b := q.get()) is not None:
+        yield b
 
 
 def main(argv=None) -> int:
@@ -38,6 +77,12 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default=None)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--data-dir", default=None,
+                    help="folder of real images -> still + homography pairs via the "
+                         "random-window loader (default: on-device synthetic pairs)")
+    ap.add_argument("--flow-pairs", default=None,
+                    help="FlowPairs root (pairs.txt + stored aflow) added to the mix")
+    ap.add_argument("--photometric", action="store_true", default=True)
     args = ap.parse_args(argv)
 
     spec = ARCHS[args.arch]
@@ -50,9 +95,29 @@ def main(argv=None) -> int:
     key = jax.random.key(cfg.seed)
     t0 = time.time()
     ema = None
+
+    if args.data_dir:
+        import jax.numpy as jnp
+
+        from vo_tpu.train.pairs import photometric_augment
+
+        batch_iter = iter(real_image_batches(args, cfg, args.steps))
+
+        def step_fn(state, sub):
+            img1, img2, aflow, mask = next(batch_iter)
+            img2 = jnp.asarray(img2)
+            if args.photometric:
+                img2 = jax.vmap(photometric_augment)(
+                    jax.random.split(sub, img2.shape[0]), img2)
+            batch = (jnp.asarray(img1), img2, jnp.asarray(aflow), jnp.asarray(mask))
+            return train_step_batch(state, batch, spec, cfg)
+    else:
+        def step_fn(state, sub):
+            return train_step(state, sub, spec, cfg)
+
     for i in range(args.steps):
         key, sub = jax.random.split(key)
-        state, metrics = train_step(state, sub, spec, cfg)
+        state, metrics = step_fn(state, sub)
         loss = float(metrics["total"])
         ema = loss if ema is None else 0.95 * ema + 0.05 * loss
         step = int(state.step)
