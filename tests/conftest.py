@@ -23,6 +23,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (runs by default; deselect with -m 'not slow')")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(8214)  # reference's seed (vo_stereo_runner.py:20-24)

@@ -91,6 +91,61 @@ class TestStreamingPipeline:
         with pytest.raises(RuntimeError, match="decode exploded"):
             run_offline_vo_streaming(bad_batches(), 4, K)
 
+    def test_checkpoint_resume_matches_uninterrupted(self, tmp_path):
+        """Mid-run VO checkpoint/resume: resuming from frame ~F/2 must reproduce the
+        uninterrupted trajectory exactly (the scan carry IS the full state)."""
+        F, B = 12, 4
+        imgs, deps, _ = render_sequence(F, K, H=240, W=320, step=0.8)
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+
+        def batches(upto=F):
+            for s in range(0, upto, B):
+                idx = np.arange(s, min(s + B, F))
+                idx = np.concatenate([idx, np.full(B - len(idx), F - 1)])
+                yield s, imgs[idx], deps[idx]
+
+        ckpt = str(tmp_path / "vo.ckpt.npz")
+        full, diag_full, _ = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex)
+
+        # Interrupted run: only the first 2 batches (8 frames), checkpoint every 4.
+        run_offline_vo_streaming(batches(upto=8), 8, K, vo_config=cfg, extractor=ex,
+                                 checkpoint_path=ckpt, checkpoint_every=4)
+        from vo_tpu.engine.pipeline import load_vo_checkpoint
+
+        nf, poses_done, state = load_vo_checkpoint(ckpt)
+        assert nf == 8 and poses_done.shape == (8, 4, 4)
+
+        resumed, diag_res, _ = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex, resume_from=ckpt)
+        assert resumed.shape == full.shape
+        np.testing.assert_allclose(resumed, full, atol=1e-5)
+        assert diag_res.accepted.shape == diag_full.accepted.shape
+
+
+class TestTrainCheckpoint:
+    def test_npz_roundtrip_and_mismatch_guard(self, tmp_path):
+        from vo_tpu.models.patchnet import FAST_QUAD_L2NET_CONFCFS
+        from vo_tpu.train import (TrainConfig, create_train_state,
+                                  load_checkpoint, save_checkpoint)
+
+        cfg = TrainConfig(batch=2, height=64, width=64)
+        spec = FAST_QUAD_L2NET_CONFCFS
+        state = create_train_state(spec, cfg)
+        p = str(tmp_path / "t.ckpt")
+        save_checkpoint(p, state, spec.name)
+        back = load_checkpoint(p, create_train_state(spec, cfg))
+        flat_a, _ = __import__("jax").tree.flatten(state)
+        flat_b, _ = __import__("jax").tree.flatten(back)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # template/tree mismatch must raise, not silently mis-assign
+        bad_template = create_train_state(spec, cfg)._replace(step=None)
+        with pytest.raises(ValueError, match="tree mismatch"):
+            load_checkpoint(p, bad_template)
+
 
 def _write_sequence_dir(tmp_path, imgs, deps):
     from PIL import Image

@@ -41,6 +41,9 @@ class RunConfig:
     # TPU engine knobs (defaults mirror the reference's hard-coded constants)
     max_keypoints: int = 2048
     extraction_batch: int = 32
+    octaves: int = 1             # >1: octave-pyramid classic extraction (cv2 ORB/SIFT
+                                 # detect over pyramids; features/pyramid.py)
+    oriented: bool = False       # gradhist dominant-orientation normalization
     vo: VOConfig = field(default_factory=VOConfig)
 
     @classmethod
@@ -69,6 +72,10 @@ class RunConfig:
             cfg.max_keypoints = int(raw["max_keypoints"])
         if "extraction_batch" in raw:
             cfg.extraction_batch = int(raw["extraction_batch"])
+        if "octaves" in raw:
+            cfg.octaves = int(raw["octaves"])
+        if "oriented" in raw:
+            cfg.oriented = bool(raw["oriented"])
 
         vo_kwargs = {}
         if cfg.feature_extractor in ("orb",):

@@ -73,6 +73,26 @@ def run_offline_vo(
     return out + ((feats, kp3d),) if return_features else out
 
 
+def save_vo_checkpoint(path: str, next_frame: int, poses, state) -> None:
+    """Mid-run VO checkpoint: poses-so-far + the scan carry (VOState) as one npz —
+    the resume story the reference lacks entirely (poses saved only at the very end,
+    vo_stereo_runner.py:60)."""
+    state_np = {f"state_{i}": np.asarray(x) for i, x in enumerate(state)}
+    with open(path, "wb") as f:
+        np.savez(f, next_frame=np.int64(next_frame), poses=np.asarray(poses),
+                 **state_np)
+
+
+def load_vo_checkpoint(path: str):
+    """-> (next_frame, poses (n, 4, 4), VOState)."""
+    from vo_tpu.engine.vo import VOState
+
+    blob = np.load(path)
+    n_fields = len(VOState._fields)
+    state = VOState(*(jnp.asarray(blob[f"state_{i}"]) for i in range(n_fields)))
+    return int(blob["next_frame"]), blob["poses"], state
+
+
 def run_offline_vo_streaming(
     batches,
     n_frames: int,
@@ -80,15 +100,23 @@ def run_offline_vo_streaming(
     vo_config: VOConfig = VOConfig(),
     extractor=None,
     prefetch: int = 2,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume_from: str | None = None,
 ):
     """Streaming pipeline: decode overlaps device compute, peak host RAM = O(batch).
 
     ``batches`` yields ``(start_index, imgs (B, H, W[, 3]) uint8/float, depths
     (B, H, W) f32)`` with a FIXED batch size (pad the tail by repeating the last
     frame — vo_tpu.io.dataset.RGBDSequence.iter_batches / io.native's equivalent do).
-    A producer thread runs the (host) decode while the device extracts the previous
-    batch — the double-buffering the round-1 runner lacked (it drained the whole
-    sequence into one np.stack first, peak RAM = whole sequence).
+    A producer thread runs the (host) decode while the device extracts AND scans the
+    previous batch — the engine runs incrementally per chunk (VOEngine.run_chunk), so
+    the double-buffering covers the whole compute, not just extraction.
+
+    Mid-run checkpointing: with ``checkpoint_path`` set, every ``checkpoint_every``
+    frames the poses-so-far and the scan carry are written; ``resume_from`` restores
+    them and skips already-processed frames (decode of skipped batches still happens —
+    the loaders are sequential).
 
     Returns (poses, diag, (feats, kp3d)); only the fixed-budget features are kept
     (~2 MB/frame at 2048 kp), never the frames.
@@ -99,6 +127,7 @@ def run_offline_vo_streaming(
     if extractor is None:
         extractor = OrbLikeExtractor()
     Kj = jnp.asarray(K, jnp.float32)
+    engine = VOEngine(vo_config)
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     err: list[BaseException] = []
@@ -114,23 +143,71 @@ def run_offline_vo_streaming(
 
     threading.Thread(target=producer, daemon=True).start()
 
-    chunks = []
+    state = None
+    next_frame = 0
+    poses_list = []
+    if resume_from:
+        next_frame, poses_done, state = load_vo_checkpoint(resume_from)
+        poses_list.append(np.asarray(poses_done))
+
+    feat_chunks = []
+    diag_chunks = []
+    since_ckpt = 0
     while True:
         item = q.get()
         if item is None:
             break
         start, imgs, deps = item
-        chunks.append(extract_and_backproject(
-            extractor, jnp.asarray(imgs), jnp.asarray(deps, jnp.float32), Kj))
+        feats, kp3d = extract_and_backproject(
+            extractor, jnp.asarray(imgs), jnp.asarray(deps, jnp.float32), Kj)
+        feat_chunks.append((feats, kp3d))
+
+        B = feats.kp.shape[0]
+        end = min(start + B, n_frames)
+        if end <= next_frame:
+            continue                      # resumed past this chunk entirely
+        lo = max(next_frame - start, 0)   # first unprocessed row in this chunk
+
+        if state is None:
+            state = engine.initial_state(feats.kp[0], feats.desc[0],
+                                         feats.valid[0], kp3d[0])
+            poses_list.append(np.asarray(state.cur_pose)[None])
+            next_frame = 1
+            lo = 1
+            if end <= 1:
+                continue
+        ids = jnp.arange(start + lo, start + B, dtype=jnp.int32)
+        state, poses, diag = engine.run_chunk(
+            state, feats.kp[lo:], feats.desc[lo:], feats.valid[lo:], kp3d[lo:],
+            ids, Kj)
+        n_real = end - (start + lo)       # drop tail padding rows
+        poses_list.append(np.asarray(poses)[:n_real])
+        diag_chunks.append(jax.tree.map(lambda a: np.asarray(a)[:n_real], diag))
+        next_frame = end
+        since_ckpt += n_real
+        if checkpoint_path and checkpoint_every and since_ckpt >= checkpoint_every:
+            save_vo_checkpoint(checkpoint_path, next_frame,
+                               np.concatenate(poses_list), state)
+            since_ckpt = 0
+
     if err:
         raise err[0]
-    if not chunks:
+    if not feat_chunks:
         raise ValueError("empty batch stream")
+    if checkpoint_path:
+        save_vo_checkpoint(checkpoint_path, next_frame,
+                           np.concatenate(poses_list), state)
 
-    feats = Features(*(jnp.concatenate([c[0][i] for c in chunks])[:n_frames]
+    feats = Features(*(jnp.concatenate([c[0][i] for c in feat_chunks])[:n_frames]
                        for i in range(4)))
-    kp3d = jnp.concatenate([c[1] for c in chunks])[:n_frames]
-
-    engine = VOEngine(vo_config)
-    poses, diag = engine.run_sequence(feats.kp, feats.desc, feats.valid, kp3d, Kj)
-    return np.asarray(poses), jax.tree.map(np.asarray, diag), (feats, kp3d)
+    kp3d = jnp.concatenate([c[1] for c in feat_chunks])[:n_frames]
+    poses = np.concatenate(poses_list)[:n_frames]
+    diag = jax.tree.map(lambda *xs: np.concatenate(xs), *diag_chunks)
+    # On resume the pre-checkpoint diagnostics are gone; front-pad with neutral rows
+    # so consumers (refine keyframe selection) still see one row per frame 1..F-1.
+    missing = (n_frames - 1) - diag.accepted.shape[0]
+    if missing > 0:
+        diag = jax.tree.map(
+            lambda a: np.concatenate([np.zeros((missing,) + a.shape[1:], a.dtype), a]),
+            diag)
+    return poses, diag, (feats, kp3d)

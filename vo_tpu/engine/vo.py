@@ -187,6 +187,33 @@ class VOEngine:
 
     # -- public API ------------------------------------------------------------
 
+    def initial_state(self, kp0, desc0, valid0, kp3d0, init_pose=None) -> VOState:
+        """Frame-0 keyframe state (VisualOdometry_Stereo.py:233-239 semantics)."""
+        cfg = self.config
+        z = kp3d0[..., 2]
+        kp3d_valid0 = valid0 & (z > cfg.min_point_depth) & (z < cfg.max_point_depth)
+        pose0 = jnp.eye(4) if init_pose is None else jnp.asarray(init_pose)
+        return VOState(
+            ref_kp=kp0, ref_desc=desc0, ref_valid=valid0,
+            ref_3d=kp3d0, ref_3d_valid=kp3d_valid0,
+            ref_pose=pose0, ref_id=jnp.int32(0),
+            bad_pnp=jnp.int32(0), cur_pose=pose0,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def run_chunk(self, state: VOState, kp, desc, valid, kp3d, frame_ids, K):
+        """Scan a chunk of frames with an explicit carry — the incremental form of
+        ``run_sequence`` used by the streaming runner (engine compute overlaps the
+        next batch's decode) and by mid-run checkpoint/resume (the carry IS the
+        resumable state). Returns (state, poses (C, 4, 4), diagnostics)."""
+        cfg = self.config
+        z = kp3d[..., 2]
+        kp3d_valid = valid & (z > cfg.min_point_depth) & (z < cfg.max_point_depth)
+        frames = (kp, desc, valid, kp3d, kp3d_valid,
+                  frame_ids.astype(jnp.int32))
+        state, (poses, diag) = jax.lax.scan(partial(self._step, K), state, frames)
+        return state, poses, diag
+
     @partial(jax.jit, static_argnames=("self",))
     def run_sequence(
         self,

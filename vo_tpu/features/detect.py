@@ -49,6 +49,17 @@ def shi_tomasi_response(gray: jnp.ndarray, sigma_d: float = 1.0,
     return half_tr - disc
 
 
+def dog_response(gray: jnp.ndarray, sigma: float = 1.0,
+                 k: float = 1.6) -> jnp.ndarray:
+    """|Difference-of-Gaussians| blob response over (B, H, W) — the within-level
+    detector of cv2 SIFT's scale space (feature_extractors/SIFT.py:8; the octave
+    dimension comes from features/pyramid.py running this per level). Absolute value
+    keeps both bright and dark blob extrema as NMS candidates."""
+    from vo_tpu.ops.image import gaussian_blur
+
+    return jnp.abs(gaussian_blur(gray, k * sigma) - gaussian_blur(gray, sigma))
+
+
 @partial(jax.jit, static_argnames=("max_kp", "nms_size", "border"))
 def detect_keypoints(
     response: jnp.ndarray,

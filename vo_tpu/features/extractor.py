@@ -68,6 +68,10 @@ class OrbLikeExtractor:
             from vo_tpu.features.surf import hessian_response
 
             resp = hessian_response(gray)
+        elif self.response == "dog":
+            from vo_tpu.features.detect import dog_response
+
+            resp = dog_response(gray)
         else:
             resp_fn = harris_response if self.response == "harris" else shi_tomasi_response
             resp = resp_fn(gray)

@@ -79,3 +79,66 @@ def gather_gradhist_descriptors(pooled: jnp.ndarray, kp: jnp.ndarray,
 def gradhist_descriptors(gray: jnp.ndarray, kp: jnp.ndarray,
                          valid: jnp.ndarray) -> jnp.ndarray:
     return gather_gradhist_descriptors(dense_orientation_planes(gray), kp, valid)
+
+
+@partial(jax.jit, static_argnames=())
+def dominant_orientations(pooled: jnp.ndarray, kp: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 8) pooled planes + (B, K, 2) kp -> (B, K) dominant angle.
+
+    Circular mean of the local orientation histogram (a smooth, jit-friendly stand-in
+    for SIFT's 36-bin peak — adequate for the moderate-roll envelope cv2 handles,
+    SIFT.py:8-12) measured from the pooled planes at the keypoint."""
+    B, H, W, _ = pooled.shape
+    xi = jnp.clip(jnp.round(kp[..., 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(kp[..., 1]).astype(jnp.int32), 0, H - 1)
+    hist = pooled[jnp.arange(B)[:, None], yi, xi]                  # (B, K, 8)
+    centers = (jnp.arange(N_ORI) + 0.5) * (2 * jnp.pi / N_ORI) - jnp.pi
+    c = jnp.sum(hist * jnp.cos(centers), axis=-1)
+    s = jnp.sum(hist * jnp.sin(centers), axis=-1)
+    return jnp.arctan2(s, c)                                       # (B, K)
+
+
+@partial(jax.jit, static_argnames=())
+def oriented_gradhist_descriptors(gray: jnp.ndarray, kp: jnp.ndarray,
+                                  valid: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-normalized gradhist: the 4x4 cell grid rotates with the dominant
+    orientation and the 8 orientation bins are circularly shifted back by it, so the
+    descriptor is invariant to in-plane rotation (the capability cv2 SIFT's dominant
+    orientation provides; upright ``gradhist_descriptors`` is the fast path)."""
+    pooled = dense_orientation_planes(gray)
+    theta = dominant_orientations(pooled, kp)                      # (B, K)
+    B, H, W, _ = pooled.shape
+    K = kp.shape[1]
+
+    c = (jnp.arange(N_CELLS) - (N_CELLS - 1) / 2.0) * CELL_SIZE
+    oy, ox = jnp.meshgrid(c, c, indexing="ij")
+    offs = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)    # (16, 2)
+
+    ct, st = jnp.cos(theta), jnp.sin(theta)                        # (B, K)
+    rot = jnp.stack([jnp.stack([ct, -st], -1),
+                     jnp.stack([st, ct], -1)], -2)                 # (B, K, 2, 2)
+    offs_r = jnp.einsum("bkij,cj->bkci", rot, offs)                # (B, K, 16, 2)
+
+    pts = kp[:, :, None, :] + offs_r
+    xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, H - 1)
+    cells = pooled[jnp.arange(B)[:, None, None], yi, xi]           # (B, K, 16, 8)
+
+    # Circular shift of the orientation bins by theta (linear interpolation).
+    bin_w = 2 * jnp.pi / N_ORI
+    shift = theta / bin_w                                          # (B, K) fractional
+    base = jnp.arange(N_ORI)
+    lo = jnp.floor(shift).astype(jnp.int32)
+    frac = (shift - lo)[..., None, None]                           # (B, K, 1, 1)
+    idx0 = (base[None, None] + lo[..., None]) % N_ORI              # (B, K, 8)
+    idx1 = (idx0 + 1) % N_ORI
+    g0 = jnp.take_along_axis(cells, idx0[:, :, None, :].repeat(cells.shape[2], 2), -1)
+    g1 = jnp.take_along_axis(cells, idx1[:, :, None, :].repeat(cells.shape[2], 2), -1)
+    cells = (1.0 - frac) * g0 + frac * g1
+
+    desc = cells.reshape(B, K, N_CELLS * N_CELLS * N_ORI)
+    desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True).clip(1e-8)
+    desc = jnp.clip(desc, 0.0, 0.2)
+    desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True).clip(1e-8)
+    desc = jnp.where(valid[..., None], desc, 0.0)
+    return desc.astype(jnp.bfloat16)

@@ -33,13 +33,20 @@ from vo_tpu.io.poses import kitti_gt_to_modified_txt, save_poses_npy
 
 
 def build_extractor(cfg: RunConfig):
-    if cfg.feature_extractor == "orb":
-        return OrbLikeExtractor(max_kp=cfg.max_keypoints)
-    if cfg.feature_extractor == "sift":
-        return OrbLikeExtractor(max_kp=cfg.max_keypoints, descriptor="gradhist")
-    if cfg.feature_extractor == "surf":
-        return OrbLikeExtractor(max_kp=cfg.max_keypoints, response="hessian",
-                                descriptor="surf")
+    classic = {"orb": dict(response="harris", descriptor="brief"),
+               "sift": dict(response="dog", descriptor="gradhist"),
+               "surf": dict(response="hessian", descriptor="surf")}
+    if cfg.feature_extractor in classic:
+        kw = classic[cfg.feature_extractor]
+        if cfg.octaves > 1:
+            from vo_tpu.features.pyramid import MultiScaleClassicExtractor
+
+            return MultiScaleClassicExtractor(
+                max_kp=cfg.max_keypoints, n_scales=cfg.octaves,
+                oriented=cfg.oriented, **kw)
+        if cfg.feature_extractor == "orb":
+            return OrbLikeExtractor(max_kp=cfg.max_keypoints)
+        return OrbLikeExtractor(max_kp=cfg.max_keypoints, **kw)
     if cfg.feature_extractor == "r2d2":
         from vo_tpu.models.r2d2_extractor import R2D2Extractor
 
@@ -115,6 +122,12 @@ def main(argv=None) -> int:
     ap.add_argument("--refine", action="store_true",
                     help="windowed BA + loop-closure pose graph on the trajectory")
     ap.add_argument("--limit", type=int, default=0, help="process only the first N frames")
+    ap.add_argument("--checkpoint", default=None,
+                    help="mid-run checkpoint path (poses-so-far + engine state)")
+    ap.add_argument("--checkpoint-every", type=int, default=256,
+                    help="frames between mid-run checkpoints")
+    ap.add_argument("--resume", default=None,
+                    help="resume a long run from a --checkpoint file")
     args = ap.parse_args(argv)
 
     cfg = RunConfig.from_yaml(args.config)
@@ -144,7 +157,9 @@ def main(argv=None) -> int:
     extractor = build_extractor(cfg)
     t0 = time.time()
     poses, diag, (feats, kp3d) = run_offline_vo_streaming(
-        batches, n, K, vo_config=cfg.vo, extractor=extractor)
+        batches, n, K, vo_config=cfg.vo, extractor=extractor,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume)
     dt = time.time() - t0
     if nat is not None:
         nat.close()
