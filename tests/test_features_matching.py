@@ -24,15 +24,17 @@ def make_textured_image(rng, H=120, W=160, n_blobs=60):
     """Random gaussian blobs on a gradient background — plenty of corners."""
     img = np.zeros((H, W), np.float32)
     ys, xs = np.mgrid[:H, :W]
+    my, mx = min(10, H // 3), min(10, W // 3)  # keep margins valid for tiny images
     for _ in range(n_blobs):
-        cy, cx = rng.uniform(10, H - 10), rng.uniform(10, W - 10)
+        cy, cx = rng.uniform(my, H - my), rng.uniform(mx, W - mx)
         s = rng.uniform(1.5, 4.0)
         a = rng.uniform(50, 200)
         img += a * np.exp(-(((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * s * s)))
-    # Add some rectangles for hard corners.
-    for _ in range(10):
-        y0, x0 = int(rng.uniform(5, H - 30)), int(rng.uniform(5, W - 30))
-        img[y0:y0 + int(rng.uniform(8, 20)), x0:x0 + int(rng.uniform(8, 20))] += rng.uniform(40, 120)
+    # Add some rectangles for hard corners (only when they fit).
+    if H > 35 and W > 35:
+        for _ in range(10):
+            y0, x0 = int(rng.uniform(5, H - 30)), int(rng.uniform(5, W - 30))
+            img[y0:y0 + int(rng.uniform(8, 20)), x0:x0 + int(rng.uniform(8, 20))] += rng.uniform(40, 120)
     return np.clip(img, 0, 255)
 
 

@@ -76,8 +76,18 @@ def run_offline_vo(
 def save_vo_checkpoint(path: str, next_frame: int, poses, state) -> None:
     """Mid-run VO checkpoint: poses-so-far + the scan carry (VOState) as one npz —
     the resume story the reference lacks entirely (poses saved only at the very end,
-    vo_stereo_runner.py:60)."""
-    state_np = {f"state_{i}": np.asarray(x) for i, x in enumerate(state)}
+    vo_stereo_runner.py:60).
+
+    bfloat16 fields (the binary ±1 descriptors) are stored as uint16 bit patterns
+    under a ``__bf16`` key suffix: plain numpy round-trips ml_dtypes arrays through
+    npz as opaque void ('V2') dtypes, which JAX then rejects on load."""
+    state_np = {}
+    for i, x in enumerate(state):
+        a = np.asarray(x)
+        if a.dtype == jnp.bfloat16:
+            state_np[f"state_{i}__bf16"] = a.view(np.uint16)
+        else:
+            state_np[f"state_{i}"] = a
     with open(path, "wb") as f:
         np.savez(f, next_frame=np.int64(next_frame), poses=np.asarray(poses),
                  **state_np)
@@ -88,9 +98,13 @@ def load_vo_checkpoint(path: str):
     from vo_tpu.engine.vo import VOState
 
     blob = np.load(path)
-    n_fields = len(VOState._fields)
-    state = VOState(*(jnp.asarray(blob[f"state_{i}"]) for i in range(n_fields)))
-    return int(blob["next_frame"]), blob["poses"], state
+    fields = []
+    for i in range(len(VOState._fields)):
+        if f"state_{i}__bf16" in blob:
+            fields.append(jnp.asarray(blob[f"state_{i}__bf16"]).view(jnp.bfloat16))
+        else:
+            fields.append(jnp.asarray(blob[f"state_{i}"]))
+    return int(blob["next_frame"]), blob["poses"], VOState(*fields)
 
 
 def run_offline_vo_streaming(
