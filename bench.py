@@ -2,23 +2,34 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
 
-Workload: 160 synthetic KITTI-resolution (376 x 1232) RGB-D frames (128 m path) through
-the complete pipeline — batched Harris+BRIEF extraction (2048-kp budget), keypoint
+Workload: 160 synthetic KITTI-resolution (376 x 1232) RGB-D frames (128 m slalom —
+bounded lateral excursion so the camera stays inside the corridor world; the round-2
+constant-turn drive walked out of the world and rendered depth-free frames) through the
+complete pipeline — batched Harris+BRIEF extraction (2048-kp budget), keypoint
 back-projection, and the scan engine (fused Pallas match kernel + 512-hypothesis
-PnP-RANSAC + keyframe state machine).
+PnP-RANSAC + keyframe state machine). Every rendered frame is asserted to have > 50 %
+depth-gate-valid pixels so a degenerate workload can never silently poison the gate.
 
-Three timings are reported:
+Reported timings:
   - value / fps_compute: device pipeline fps, frames pre-staged in HBM (one warm-up
     compile excluded);
   - per-stage extract/engine ms per frame;
   - fps_io_included: the streaming runner reading png+npy pairs from disk through the
-    double-buffered loader (decode overlaps compute) — the honest end-to-end number;
-  - r2d2_extract_fps: the learned-extractor (Fast_Quad ConfCFS CNN) extraction rate.
+    double-buffered loader (native C++ decode pool, auto-built) — the honest
+    end-to-end number;
+  - an R2D2 (learned CNN extractor) trajectory line: extraction+engine fps AND its
+    own evaluator-gated seg errors (the reference's flagship path, R2D2.py:202-236);
+  - classic multiscale (4-octave oriented gradhist) extraction ms/frame.
 
-Accuracy gate: the trajectory is scored with the reference's own KITTI evaluator
-(segment translation % over 100 m segments) — not a loose drift bool. The reference's
-own committed KITTI-03 run scores 3.37 % (BASELINE.md); the gate here is < 1.5 % on the
-easier synthetic world plus accept-rate > 0.8.
+Correctness gates baked into the output:
+  - trajectory_sane: seg translation < 1.5 % AND seg rotation < 2 deg/100m AND
+    accept rate > 0.8, scored with the reference's own KITTI evaluator (the
+    reference's committed KITTI-03 run scores 3.37 % / 1.271 deg per BASELINE.md);
+  - r2d2_trajectory_sane: the same gate on the R2D2-featured trajectory;
+  - pallas_parity: the COMPILED Mosaic match kernel agrees index-for-index with the
+    XLA matcher on real descriptors (on-device; interpret-mode tests don't cover
+    Mosaic codegen — the round-1 Pallas BRIEF miscompiled exactly there). On mismatch
+    the bench falls back to the XLA matcher and reports false.
 
 Baseline: the reference publishes no frames/s (BASELINE.md); its per-frame wall-clock
 prints put the R2D2 pipeline around ~10 fps on the authors' GPU. vs_baseline is
@@ -29,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -36,26 +48,36 @@ import numpy as np
 F, H, W = 160, 376, 1232
 EXTRACT_BATCH = 16
 STEP = 0.8
+WORKLOAD = "slalom_v3"          # bump to invalidate the on-disk sequence cache
 K = np.array([[721.53, 0.0, 609.55], [0.0, 721.53, 172.85], [0.0, 0.0, 1.0]],
              np.float32)
 
 
 def _sequence():
-    from vo_tpu.utils.synthetic import render_sequence
+    from vo_tpu.utils.synthetic import (depth_valid_fraction, render_sequence,
+                                        slalom_trajectory)
 
-    cache = f"/tmp/vo_tpu_bench_seq_{F}x{H}x{W}.npz"
+    cache = f"/tmp/vo_tpu_bench_seq_{WORKLOAD}_{F}x{H}x{W}.npz"
     try:
         blob = np.load(cache)
-        return blob["imgs"], blob["deps"], blob["gt"]
+        imgs, deps, gt = blob["imgs"], blob["deps"], blob["gt"]
     except Exception:
-        imgs, deps, gt = render_sequence(F, K, H=H, W=W, step=STEP, yaw_rate=0.004)
+        traj = slalom_trajectory(F, step=STEP)
+        imgs, deps, gt = render_sequence(F, K, H=H, W=W, traj=traj)
         np.savez_compressed(cache, imgs=imgs, deps=deps, gt=gt)
-        return imgs, deps, gt
+    # Workload sanity: every frame must carry real depth signal. Round 2's bench
+    # drove out of the world and scored garbage frames without anyone noticing.
+    dvf = depth_valid_fraction(deps)
+    if float(dvf.min()) <= 0.5:
+        raise AssertionError(
+            f"degenerate bench workload: min depth-valid fraction {dvf.min():.3f} "
+            f"at frame {int(dvf.argmin())} — world too small for trajectory")
+    return imgs, deps, gt
 
 
 def _sequence_dir(imgs, deps) -> str:
     """Materialize the sequence as (*.png, *_depth.npy) pairs for the IO-included run."""
-    d = f"/tmp/vo_tpu_bench_dir_{F}x{H}x{W}"
+    d = f"/tmp/vo_tpu_bench_dir_{WORKLOAD}_{F}x{H}x{W}"
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
         from PIL import Image
@@ -69,6 +91,44 @@ def _sequence_dir(imgs, deps) -> str:
     return d
 
 
+def _check_pallas_parity(desc, valid) -> bool:
+    """Compiled-Mosaic vs XLA matcher agreement on real descriptors, on device.
+
+    Interpret-mode parity (tests/test_pallas_kernels.py) exercises the kernel's
+    *semantics*; this exercises its *codegen* on the chip the bench runs on."""
+    import jax
+
+    from vo_tpu.matching.matchers import ratio_match
+    from vo_tpu.ops.pallas_match import ratio_match_pallas
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return True      # no Mosaic path in play
+    a, b = desc[0], desc[1]
+    va, vb = valid[0], valid[1]
+    mp = ratio_match_pallas(a, b, va, vb, ratio=0.85, binary_dim=a.shape[-1])
+    mx = ratio_match(a, b, va, vb, ratio=0.85, binary_dim=a.shape[-1])
+    mask_p, mask_x = np.asarray(mp.mask), np.asarray(mx.mask)
+    idx_p, idx_x = np.asarray(mp.idx), np.asarray(mx.idx)
+    ok = bool((mask_p == mask_x).all() and (idx_p[mask_x] == idx_x[mask_x]).all())
+    if not ok:
+        print("WARNING: compiled Pallas match kernel disagrees with XLA matcher "
+              f"({int((mask_p != mask_x).sum())} mask diffs) — falling back to XLA",
+              file=sys.stderr)
+    return ok
+
+
+def _score(gt, poses, diag):
+    from vo_tpu.evalkit import KittiOdomEvaluator
+
+    res = KittiOdomEvaluator().evaluate(gt, poses)
+    accept = float(np.mean(np.asarray(diag.accepted)))
+    drift = float(np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3]))
+    sane = bool(res.seg_trans_err_pct < 1.5
+                and res.seg_rot_err_deg_per_100m < 2.0
+                and accept > 0.8)
+    return res, accept, drift, sane
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -76,14 +136,11 @@ def main() -> None:
     from vo_tpu.engine.pipeline import extract_and_backproject, run_offline_vo_streaming
     from vo_tpu.engine.vo import VOConfig, VOEngine
     from vo_tpu.estimation.pnp import PnPConfig
-    from vo_tpu.evalkit import KittiOdomEvaluator
     from vo_tpu.features.extractor import OrbLikeExtractor
 
     imgs, deps, gt = _sequence()
 
     extractor = OrbLikeExtractor(max_kp=2048)
-    vo_cfg = VOConfig(matcher="ratio_binary", pnp=PnPConfig(n_hypotheses=512))
-    engine = VOEngine(vo_cfg)
     Kj = jnp.asarray(K)
 
     # Pre-stage frames on device for the compute-only figure (the dev-tunnel's
@@ -110,8 +167,12 @@ def main() -> None:
         # (block_until_ready can return early on the tunnel backend).
         return [np.asarray(jnp.sum(a[..., -1])) for a in arrays]
 
-    # Warm-up (compile both stages) + correctness artifacts.
+    # Warm-up (compile both stages) + on-device compiled-kernel parity.
     kp, desc, valid, kp3d = extract_all()
+    pallas_ok = _check_pallas_parity(desc, valid)
+    vo_cfg = VOConfig(matcher="ratio_binary", pnp=PnPConfig(n_hypotheses=512),
+                      use_pallas_match=pallas_ok)
+    engine = VOEngine(vo_cfg)
     poses_j, diag = engine.run_sequence(kp, desc, valid, kp3d, Kj)
     poses = np.asarray(poses_j)
 
@@ -128,15 +189,10 @@ def main() -> None:
         t_ex.append(t1 - t0)
         t_en.append(t2 - t1)
         t_full.append(t2 - t0)
-    dt = min(t_full)
-    fps = F / dt
+    fps = F / min(t_full)
 
-    # Accuracy gate: reference's own evaluator, segment translation % (100 m segments
-    # exist on this 128 m path) — not a drift bool.
-    res = KittiOdomEvaluator().evaluate(gt, poses)
-    accept = float(np.mean(np.asarray(diag.accepted)))
-    err_final = float(np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3]))
-    sane = bool(res.seg_trans_err_pct < 1.5 and accept > 0.8)
+    # Accuracy gate: reference's own evaluator (100 m segments exist on this path).
+    res, accept, err_final, sane = _score(gt, poses, diag)
 
     # IO-included: stream the on-disk sequence through the real loader stack.
     seq_dir = _sequence_dir(imgs, deps)
@@ -162,19 +218,57 @@ def main() -> None:
     io_run()                      # warm-up (rgb-input extraction compiles here)
     fps_io, loader = io_run()
 
-    # Learned-extractor rate (R2D2-style CNN, ported weights).
+    # R2D2 (learned CNN) trajectory: the reference's flagship extractor driving the
+    # same engine, with its cosine ratio + mutual-NN matcher (R2D2.py:234,53-66).
+    r2d2_fps = r2d2_res = r2d2_sane = r2d2_accept = None
     try:
         from vo_tpu.models.r2d2_extractor import R2D2Extractor
 
         r2d2 = R2D2Extractor.from_pretrained(max_kp=2048)
-        x = imgs_d[:8]
-        np.asarray(r2d2(x).valid.sum())          # compile
+        r2d2_cfg = VOConfig(matcher="ratio_mutual_nn", ratio=0.9,
+                            pnp=PnPConfig(n_hypotheses=512),
+                            use_pallas_match=pallas_ok)
+        r2d2_engine = VOEngine(r2d2_cfg)
+        RB = 8
+
+        def r2d2_extract_all():
+            fc, kc = [], []
+            for s in range(0, F, RB):
+                f, k3 = extract_and_backproject(r2d2, imgs_d[s:s + RB],
+                                                deps_d[s:s + RB], Kj)
+                fc.append(f)
+                kc.append(k3)
+            return (jnp.concatenate([f.kp for f in fc]),
+                    jnp.concatenate([f.desc for f in fc]),
+                    jnp.concatenate([f.valid for f in fc]),
+                    jnp.concatenate(kc))
+
+        rkp, rdesc, rvalid, rkp3d = r2d2_extract_all()          # compile
+        rp, rdiag = r2d2_engine.run_sequence(rkp, rdesc, rvalid, rkp3d, Kj)
+        np.asarray(rp)
+        t0 = time.perf_counter()
+        rkp, rdesc, rvalid, rkp3d = r2d2_extract_all()
+        rp, rdiag = r2d2_engine.run_sequence(rkp, rdesc, rvalid, rkp3d, Kj)
+        r2d2_poses = np.asarray(rp)
+        r2d2_fps = F / (time.perf_counter() - t0)
+        r2d2_res, r2d2_accept, _, r2d2_sane = _score(gt, r2d2_poses, rdiag)
+    except Exception as e:
+        print(f"WARNING: r2d2 trajectory bench failed: {e!r}", file=sys.stderr)
+
+    # Classic multiscale (4-octave, oriented gradhist) extraction cost on record.
+    try:
+        from vo_tpu.features.pyramid import MultiScaleClassicExtractor
+
+        ms = MultiScaleClassicExtractor(max_kp=2048, n_scales=4,
+                                        descriptor="gradhist", oriented=True)
+        np.asarray(ms(imgs_d[:8]).valid.sum())                  # compile
         t0 = time.perf_counter()
         for s in range(0, 32, 8):
-            np.asarray(r2d2(imgs_d[s:s + 8]).valid.sum())
-        r2d2_fps = 32 / (time.perf_counter() - t0)
-    except Exception:
-        r2d2_fps = None
+            np.asarray(ms(imgs_d[s:s + 8]).valid.sum())
+        ms_ms = (time.perf_counter() - t0) / 32 * 1000
+    except Exception as e:
+        print(f"WARNING: multiscale bench failed: {e!r}", file=sys.stderr)
+        ms_ms = None
 
     print(json.dumps({
         "metric": "vo_frames_per_sec_1chip",
@@ -186,11 +280,19 @@ def main() -> None:
         "seg_rot_err_deg_100m": round(float(res.seg_rot_err_deg_per_100m), 3),
         "final_drift_m": round(err_final, 3),
         "accept_rate": round(accept, 3),
+        "pallas_parity": pallas_ok,
         "extract_ms_per_frame": round(min(t_ex) / F * 1000, 3),
         "engine_ms_per_frame": round(min(t_en) / F * 1000, 3),
         "fps_io_included": round(fps_io, 2),
         "io_loader": loader,
-        "r2d2_extract_fps": round(r2d2_fps, 2) if r2d2_fps else None,
+        "r2d2_pipeline_fps": round(r2d2_fps, 2) if r2d2_fps else None,
+        "r2d2_trajectory_sane": r2d2_sane,
+        "r2d2_seg_trans_err_pct": (round(float(r2d2_res.seg_trans_err_pct), 3)
+                                   if r2d2_res else None),
+        "r2d2_seg_rot_err_deg_100m": (round(float(r2d2_res.seg_rot_err_deg_per_100m), 3)
+                                      if r2d2_res else None),
+        "r2d2_accept_rate": round(r2d2_accept, 3) if r2d2_accept else None,
+        "multiscale_extract_ms_per_frame": round(ms_ms, 3) if ms_ms else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -78,10 +78,41 @@ class TestStreamingPipeline:
                 idx = np.concatenate([idx, np.full(B - len(idx), F - 1)])
                 yield s, imgs[idx], deps[idx]
 
-        poses_st, diag_st, (feats, kp3d) = run_offline_vo_streaming(
+        poses_st, diag_st, (feats, kp3d, rows) = run_offline_vo_streaming(
             batches(), F, K, vo_config=cfg, extractor=ex)
         assert np.allclose(poses_mem, poses_st, atol=1e-4)
         assert feats.kp.shape[0] == F and kp3d.shape[0] == F
+        assert np.array_equal(rows, np.arange(F))
+
+    def test_sparse_retention_keeps_keyframes(self):
+        """retain='sparse' keeps promoted keyframes + every 4th frame + endpoints,
+        and the kept rows carry the same features as the full run."""
+        F = 10
+        imgs, deps, _ = render_sequence(F, K, H=240, W=320, step=0.8)
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+
+        def batches(B=4):
+            for s in range(0, F, B):
+                idx = np.arange(s, min(s + B, F))
+                idx = np.concatenate([idx, np.full(B - len(idx), F - 1)])
+                yield s, imgs[idx], deps[idx]
+
+        poses_full, diag, (feats_f, kp3d_f, _) = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex)
+        poses_sp, diag_sp, (feats_s, kp3d_s, rows) = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex, retain="sparse")
+        np.testing.assert_allclose(poses_full, poses_sp, atol=1e-5)
+
+        promoted = np.nonzero(np.asarray(diag.promoted_keyframe))[0] + 1
+        expected = np.unique(np.concatenate(
+            [np.arange(0, F, 4), promoted, [F - 1]]))
+        assert np.array_equal(rows, expected)
+        assert feats_s.kp.shape[0] == len(rows) < F
+        np.testing.assert_array_equal(np.asarray(feats_s.kp),
+                                      np.asarray(feats_f.kp)[rows])
+        np.testing.assert_array_equal(np.asarray(kp3d_s), np.asarray(kp3d_f)[rows])
 
     def test_decode_error_propagates(self):
         def bad_batches():
@@ -186,6 +217,14 @@ pnp_n_hypotheses: 256
         assert rc == 0
         poses = np.load(str(out) + ".npy")
         assert poses.shape == (F, 4, 4)
+        # sparse retention must produce an equally sane refined trajectory
+        rc = vo_run.main(["--config", str(cfg_yaml), "--refine",
+                          "--retain", "sparse"])
+        assert rc == 0
+        poses_sp = np.load(str(out) + ".npy")
+        err_sp = np.linalg.norm(poses_sp[:, :3, 3] - gt[:, :3, 3], axis=1)
+        total_d = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+        assert err_sp[-1] < 0.1 * total_d
         # trajectory still sane after refinement
         err = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
         total = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()

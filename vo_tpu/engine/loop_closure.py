@@ -4,9 +4,14 @@ The reference chains poses open-loop and never corrects them
 (VisualOdometry_Stereo.py:283,292) — revisiting a place leaves the accumulated drift in
 place forever. This module closes that gap: candidate keyframe pairs are proposed by
 estimated proximity, verified with the same descriptor-match + PnP-RANSAC machinery the
-VO front-end uses (all batched/jitted), and the verified relative poses become
-loop-closure edges in a pose graph (vo_tpu.ba.pose_graph) optimized over the keyframe
-chain; non-keyframe poses re-anchor to their keyframe.
+VO front-end uses, and the verified relative poses become loop-closure edges in a pose
+graph (vo_tpu.ba.pose_graph) optimized over the keyframe chain; non-keyframe poses
+re-anchor to their keyframe.
+
+TPU-shaped scaling: ALL candidate pairs are verified in ONE jitted dispatch — the
+match + PnP-RANSAC verifier is vmapped over a fixed candidate budget (padded, masked),
+so a KITTI-length run costs one compile + one device call instead of max_candidates
+sequential dispatches. Re-anchoring is a batched einsum, not a per-frame Python loop.
 
 Wired into the product path via ``vo_tpu.runners.vo_run --refine`` (after windowed BA).
 """
@@ -14,6 +19,7 @@ Wired into the product path via ``vo_tpu.runners.vo_run --refine`` (after window
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +34,7 @@ from vo_tpu.matching.matchers import ratio_match, ratio_mutual_nn_match
 class LoopClosureConfig:
     min_gap: int = 8             # min keyframe-index separation for a loop candidate
     radius: float = 10.0         # candidate search radius around the current estimate (m)
-    max_candidates: int = 24     # cap on verified PnP attempts per trajectory
+    max_candidates: int = 24     # fixed verification budget (pairs padded up to this)
     min_inliers: int = 30        # PnP inlier gate for accepting a loop edge
     matcher_ratio: float = 0.9
     binary_desc: bool = True
@@ -37,59 +43,94 @@ class LoopClosureConfig:
     pgo: PoseGraphConfig = PoseGraphConfig(iterations=25)
 
 
-def _match_pair(ia, ib, kp, desc, valid, kp3d, kp3d_valid, K,
-                cfg: LoopClosureConfig):
-    """Verify keyframe pair (ia -> ib); returns (T_rel c2w edge Z = T_ia^-1 T_ib or
-    None, n_inliers)."""
-    if cfg.binary_desc:
-        m = ratio_match(desc[ia], desc[ib], valid[ia], valid[ib],
-                        ratio=cfg.matcher_ratio, binary_dim=desc.shape[-1])
-    else:
-        m = ratio_mutual_nn_match(desc[ia], desc[ib], valid[ia], valid[ib],
-                                  ratio=cfg.matcher_ratio)
-    mask = jnp.asarray(np.asarray(m.mask) & np.asarray(kp3d_valid[ia]))
-    res = pnp_ransac(
-        jax.random.fold_in(jax.random.key(8214), int(ia) * 131071 + int(ib)),
-        kp3d[ia], kp[ib][m.idx], mask, jnp.asarray(K),
-        PnPConfig(n_hypotheses=512, min_inliers=cfg.min_inliers),
-        points_3d_cur=kp3d[ib][m.idx],
-        valid_cur=kp3d_valid[ib][np.asarray(m.idx)],
-    )
-    n_in = int(res.n_inliers)
-    if not bool(res.ok):
-        return None, n_in
-    # pnp pose maps ia-cam -> ib-cam, so the c2w relative edge is its inverse.
-    return np.linalg.inv(np.asarray(res.pose)), n_in
+@partial(jax.jit, static_argnames=("cfg",))
+def _verify_pairs(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
+                  kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b, K,
+                  cfg: LoopClosureConfig):
+    """Batched pair verification: match + PnP-RANSAC vmapped over the candidate axis.
+
+    Inputs are (C, ...) gathers of the per-keyframe feature arrays; returns
+    (poses (C, 4, 4) a-cam->b-cam, n_inliers (C,), ok (C,))."""
+
+    def one(key, da, va, Xa, Xav, kb, db, vb, Xb, Xbv):
+        if cfg.binary_desc:
+            m = ratio_match(da, db, va, vb, ratio=cfg.matcher_ratio,
+                            binary_dim=da.shape[-1])
+        else:
+            m = ratio_mutual_nn_match(da, db, va, vb, ratio=cfg.matcher_ratio)
+        mask = m.mask & Xav
+        res = pnp_ransac(
+            key, Xa, kb[m.idx], mask, K,
+            PnPConfig(n_hypotheses=512, min_inliers=cfg.min_inliers),
+            points_3d_cur=Xb[m.idx], valid_cur=Xbv[m.idx])
+        return res.pose, res.n_inliers, res.ok
+
+    return jax.vmap(one)(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
+                         kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b)
 
 
 def detect_loop_closures(kf_ids, poses, kp, desc, valid, kp3d, K,
-                         cfg: LoopClosureConfig = LoopClosureConfig()):
+                         cfg: LoopClosureConfig = LoopClosureConfig(),
+                         feat_rows=None):
     """Find verified loop-closure edges between keyframes.
 
     Returns a list of (a, b, Z_ab (4,4), n_inliers) with a < b indices into kf_ids.
     Candidates are non-adjacent keyframes whose *estimated* positions lie within
     ``radius`` — by construction the place-revisit signature under drift.
+
+    ``feat_rows``: frame id of each row of kp/desc/valid/kp3d when features were
+    retained sparsely (run_offline_vo_streaming(retain="sparse")); None means row i
+    holds frame i's features.
     """
     kf_ids = np.asarray(kf_ids)
     poses = np.asarray(poses)
     z = np.asarray(kp3d[..., 2])
     kp3d_valid = np.asarray(valid) & (z > 0.1) & (z < 80.0)
 
+    if feat_rows is None:
+        row_of = np.arange(poses.shape[0])
+    else:
+        feat_rows = np.asarray(feat_rows)
+        row_of = np.full(poses.shape[0], -1, np.int64)
+        row_of[feat_rows] = np.arange(len(feat_rows))
+    rows = row_of[kf_ids]
+    if (rows < 0).any():
+        missing = kf_ids[rows < 0]
+        raise ValueError(f"no retained features for keyframes {missing[:8]}...")
+
+    # Candidate proposal: pairwise keyframe distances (vectorized), gap + radius gates.
     pos = poses[kf_ids][:, :3, 3]
     n = len(kf_ids)
-    cands = []
-    for a in range(n):
-        for b in range(a + cfg.min_gap, n):
-            d = float(np.linalg.norm(pos[a] - pos[b]))
-            if d < cfg.radius:
-                cands.append((d, a, b))
-    cands.sort()
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    a_idx, b_idx = np.nonzero((np.triu(np.ones((n, n), bool), cfg.min_gap)) &
+                              (d < cfg.radius))
+    if len(a_idx) == 0:
+        return []
+    order = np.argsort(d[a_idx, b_idx])[: cfg.max_candidates]
+    a_idx, b_idx = a_idx[order], b_idx[order]
+    C = len(a_idx)
+
+    # Pad to the fixed budget so the jitted verifier compiles once per geometry.
+    pad = cfg.max_candidates - C
+    a_pad = np.concatenate([a_idx, np.zeros(pad, a_idx.dtype)])
+    b_pad = np.concatenate([b_idx, np.zeros(pad, b_idx.dtype)])
+    ra, rb = rows[a_pad], rows[b_pad]
+
+    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.key(8214), s))(
+        jnp.asarray(kf_ids[a_pad] * 131071 + kf_ids[b_pad], jnp.int32))
+    kp3d_valid_j = jnp.asarray(kp3d_valid)
+    pz, n_in, ok = _verify_pairs(
+        keys, desc[ra], valid[ra], kp3d[ra], kp3d_valid_j[ra],
+        kp[rb], desc[rb], valid[rb], kp3d[rb], kp3d_valid_j[rb],
+        jnp.asarray(K), cfg)
+    pz, n_in, ok = np.asarray(pz), np.asarray(n_in), np.asarray(ok)
+
     edges = []
-    for d, a, b in cands[: cfg.max_candidates]:
-        Z, n_in = _match_pair(int(kf_ids[a]), int(kf_ids[b]), kp, desc, valid,
-                              kp3d, kp3d_valid, K, cfg)
-        if Z is not None:
-            edges.append((a, b, Z, n_in))
+    for c in range(C):
+        if ok[c]:
+            # pnp pose maps a-cam -> b-cam, so the c2w relative edge is its inverse.
+            edges.append((int(a_idx[c]), int(b_idx[c]),
+                          np.linalg.inv(pz[c]), int(n_in[c])))
     return edges
 
 
@@ -106,8 +147,9 @@ def optimize_with_loops(poses, kf_ids, loop_edges,
     n = len(kf_ids)
     kf_poses = poses[kf_ids]
 
+    inv_kf = np.linalg.inv(kf_poses)
     edges_ij = [(i, i + 1) for i in range(n - 1)]
-    edges_z = [np.linalg.inv(kf_poses[i]) @ kf_poses[i + 1] for i in range(n - 1)]
+    edges_z = list(inv_kf[:-1] @ kf_poses[1:])
     edges_w = [cfg.odo_weight] * (n - 1)
     for a, b, Z, n_in in loop_edges:
         edges_ij.append((a, b))
@@ -120,15 +162,11 @@ def optimize_with_loops(poses, kf_ids, loop_edges,
         jnp.asarray(np.asarray(edges_w, np.float32)), cfg.pgo)
     opt = np.asarray(opt)
 
-    # Re-anchor: each frame follows its most recent keyframe's correction.
-    out = poses.copy()
+    # Re-anchor: each frame follows its most recent keyframe's correction (frames
+    # before the first keyframe follow it too). One batched einsum, no Python loop.
     F = poses.shape[0]
-    for j in range(n):
-        corr = opt[j] @ np.linalg.inv(kf_poses[j])
-        nxt = int(kf_ids[j + 1]) if j + 1 < n else F
-        for g in range(int(kf_ids[j]), min(nxt, F)):
-            out[g] = corr @ poses[g]
-    if int(kf_ids[-1]) == F - 1:
-        out[F - 1] = opt[-1] @ np.linalg.inv(kf_poses[-1]) @ poses[F - 1]
+    j_of = np.clip(np.searchsorted(kf_ids, np.arange(F), side="right") - 1, 0, n - 1)
+    corr = opt @ inv_kf                     # (n, 4, 4) batched correction transforms
+    out = np.einsum("fij,fjk->fik", corr[j_of], poses)
     return out, {"n_loop_edges": len(loop_edges),
                  "pgo_cost": [float(c) for c in np.asarray(costs)]}

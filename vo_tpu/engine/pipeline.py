@@ -97,14 +97,22 @@ def load_vo_checkpoint(path: str):
     """-> (next_frame, poses (n, 4, 4), VOState)."""
     from vo_tpu.engine.vo import VOState
 
-    blob = np.load(path)
-    fields = []
-    for i in range(len(VOState._fields)):
-        if f"state_{i}__bf16" in blob:
-            fields.append(jnp.asarray(blob[f"state_{i}__bf16"]).view(jnp.bfloat16))
-        else:
-            fields.append(jnp.asarray(blob[f"state_{i}"]))
-    return int(blob["next_frame"]), blob["poses"], VOState(*fields)
+    with np.load(path) as blob:
+        fields = []
+        for i in range(len(VOState._fields)):
+            if f"state_{i}__bf16" in blob:
+                fields.append(jnp.asarray(blob[f"state_{i}__bf16"]).view(jnp.bfloat16))
+            else:
+                a = blob[f"state_{i}"]
+                if a.dtype.kind == "V":
+                    # npz round-trips raw ml_dtypes arrays as opaque void records;
+                    # only checkpoints from the pre-__bf16 save path look like this.
+                    raise ValueError(
+                        f"legacy/corrupt VO checkpoint {path!r}: field state_{i} has "
+                        f"void dtype {a.dtype} (pre-bf16-fix format) — re-run the "
+                        "producing job to regenerate the checkpoint")
+                fields.append(jnp.asarray(a))
+        return int(blob["next_frame"]), blob["poses"], VOState(*fields)
 
 
 def run_offline_vo_streaming(
@@ -117,6 +125,8 @@ def run_offline_vo_streaming(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_from: str | None = None,
+    retain: str = "all",
+    retain_stride: int = 4,
 ):
     """Streaming pipeline: decode overlaps device compute, peak host RAM = O(batch).
 
@@ -132,12 +142,21 @@ def run_offline_vo_streaming(
     them and skips already-processed frames (decode of skipped batches still happens —
     the loaders are sequential).
 
-    Returns (poses, diag, (feats, kp3d)); only the fixed-budget features are kept
-    (~2 MB/frame at 2048 kp), never the frames.
+    Feature retention: ``retain="all"`` keeps every frame's fixed-budget features
+    (~1-2 MB/frame at 2048 kp — O(sequence) HBM); ``retain="sparse"`` keeps only
+    promoted keyframes, every ``retain_stride``-th frame, and the endpoints — the
+    frames refinement (``vo_tpu.engine.refine`` / loop closure) actually consumes —
+    so --refine runs on KITTI-length sequences in bounded memory.
+
+    Returns (poses, diag, (feats, kp3d, feat_rows)); ``feat_rows`` is the frame id of
+    each retained feature row (``arange(n_frames)`` for retain="all"). Pixels are
+    never kept.
     """
     import queue
     import threading
 
+    if retain not in ("all", "sparse"):
+        raise ValueError(f"retain must be 'all' or 'sparse', got {retain!r}")
     if extractor is None:
         extractor = OrbLikeExtractor()
     Kj = jnp.asarray(K, jnp.float32)
@@ -165,8 +184,23 @@ def run_offline_vo_streaming(
         poses_list.append(np.asarray(poses_done))
 
     feat_chunks = []
+    feat_rows_list = []
     diag_chunks = []
     since_ckpt = 0
+
+    def retain_chunk(feats, kp3d, start, promoted):
+        """Keep this chunk's feature rows per the retention policy (promoted flags
+        cover processed rows; zeros for resume-skipped ones)."""
+        B = len(promoted)
+        fid = np.arange(start, start + B)
+        keep = fid < n_frames              # tail padding rows are never real frames
+        if retain == "sparse":
+            keep &= (promoted | (fid % retain_stride == 0) | (fid == n_frames - 1))
+        rows = np.nonzero(keep)[0]
+        if len(rows):
+            feat_chunks.append((jax.tree.map(lambda a: a[rows], feats), kp3d[rows]))
+            feat_rows_list.append(fid[rows])
+
     while True:
         item = q.get()
         if item is None:
@@ -174,11 +208,12 @@ def run_offline_vo_streaming(
         start, imgs, deps = item
         feats, kp3d = extract_and_backproject(
             extractor, jnp.asarray(imgs), jnp.asarray(deps, jnp.float32), Kj)
-        feat_chunks.append((feats, kp3d))
 
         B = feats.kp.shape[0]
+        promoted = np.zeros(B, bool)
         end = min(start + B, n_frames)
         if end <= next_frame:
+            retain_chunk(feats, kp3d, start, promoted)
             continue                      # resumed past this chunk entirely
         lo = max(next_frame - start, 0)   # first unprocessed row in this chunk
 
@@ -189,6 +224,7 @@ def run_offline_vo_streaming(
             next_frame = 1
             lo = 1
             if end <= 1:
+                retain_chunk(feats, kp3d, start, promoted)
                 continue
         ids = jnp.arange(start + lo, start + B, dtype=jnp.int32)
         state, poses, diag = engine.run_chunk(
@@ -197,6 +233,8 @@ def run_offline_vo_streaming(
         n_real = end - (start + lo)       # drop tail padding rows
         poses_list.append(np.asarray(poses)[:n_real])
         diag_chunks.append(jax.tree.map(lambda a: np.asarray(a)[:n_real], diag))
+        promoted[lo:lo + n_real] = diag_chunks[-1].promoted_keyframe
+        retain_chunk(feats, kp3d, start, promoted)
         next_frame = end
         since_ckpt += n_real
         if checkpoint_path and checkpoint_every and since_ckpt >= checkpoint_every:
@@ -212,9 +250,10 @@ def run_offline_vo_streaming(
         save_vo_checkpoint(checkpoint_path, next_frame,
                            np.concatenate(poses_list), state)
 
-    feats = Features(*(jnp.concatenate([c[0][i] for c in feat_chunks])[:n_frames]
+    feats = Features(*(jnp.concatenate([c[0][i] for c in feat_chunks])
                        for i in range(4)))
-    kp3d = jnp.concatenate([c[1] for c in feat_chunks])[:n_frames]
+    kp3d = jnp.concatenate([c[1] for c in feat_chunks])
+    feat_rows = np.concatenate(feat_rows_list)
     poses = np.concatenate(poses_list)[:n_frames]
     diag = jax.tree.map(lambda *xs: np.concatenate(xs), *diag_chunks)
     # On resume the pre-checkpoint diagnostics are gone; front-pad with neutral rows
@@ -224,4 +263,4 @@ def run_offline_vo_streaming(
         diag = jax.tree.map(
             lambda a: np.concatenate([np.zeros((missing,) + a.shape[1:], a.dtype), a]),
             diag)
-    return poses, diag, (feats, kp3d)
+    return poses, diag, (feats, kp3d, feat_rows)

@@ -36,9 +36,13 @@ class RefineConfig:
 
 
 def _select_keyframes(diag_promoted: np.ndarray, n_frames: int,
-                      max_gap: int = 4) -> np.ndarray:
+                      max_gap: int = 4, allowed: np.ndarray | None = None) -> np.ndarray:
     """Keyframe indices: frame 0, every promoted frame, the last frame, with gaps
-    capped at ``max_gap`` so every adjacent pair stays matchable."""
+    capped at ``max_gap`` so every adjacent pair stays matchable.
+
+    ``allowed``: optional sorted frame ids that have retained features (sparse
+    retention mode) — every selected keyframe (including gap fillers) snaps to it.
+    """
     kfs = [0]
     promoted = np.nonzero(np.asarray(diag_promoted))[0] + 1  # diag row i = frame i+1
     for f in promoted:
@@ -46,11 +50,25 @@ def _select_keyframes(diag_promoted: np.ndarray, n_frames: int,
             kfs.append(int(f))
     if kfs[-1] != n_frames - 1:
         kfs.append(n_frames - 1)
+    allowed_set = None if allowed is None else set(int(a) for a in allowed)
+
+    def snap(f: int) -> int | None:
+        """Largest allowed frame <= f (features exist for it)."""
+        if allowed_set is None or f in allowed_set:
+            return f
+        i = np.searchsorted(allowed, f, side="right") - 1
+        return int(allowed[i]) if i >= 0 else None
+
     out = [kfs[0]]
     for f in kfs[1:]:
         while f - out[-1] > max_gap:
-            out.append(out[-1] + max_gap)
-        out.append(f)
+            filler = snap(out[-1] + max_gap)
+            if filler is None or filler <= out[-1]:
+                break      # no retained frame in the gap — let the pair stretch
+            out.append(filler)
+        s = snap(f)
+        if s is not None and s > out[-1]:
+            out.append(s)
     return np.unique(np.asarray(out))
 
 
@@ -80,19 +98,23 @@ def _pair_match(ia, ib, kp, desc, valid, kp3d, kp3d_valid, K, cfg: RefineConfig)
 
 
 def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
-                          cfg: RefineConfig):
+                          cfg: RefineConfig, rows=None):
     """One fixed-shape BAProblem with 2-3 view landmark tracks.
 
     Each landmark anchors at keyframe a and is observed in a, a+1 and (when the
     composed match survives) a+2 — 3-view tracks constrain the window's poses far more
     strongly than pairwise 2-view observations.
+
+    ``rows``: feature-array row of each keyframe (sparse retention); defaults to the
+    frame ids themselves.
     """
     P = len(kf_ids)
+    rows = np.asarray(kf_ids) if rows is None else np.asarray(rows)
     M = cfg.obs_per_pose
     per_anchor = M // 3
     L = max((P - 1) * per_anchor, 1)
 
-    pair = {a: _pair_match(kf_ids[a], kf_ids[a + 1], kp, desc, valid, kp3d,
+    pair = {a: _pair_match(rows[a], rows[a + 1], kp, desc, valid, kp3d,
                            kp3d_valid, K, cfg)
             for a in range(P - 1)}
 
@@ -119,30 +141,29 @@ def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
         obs_fill[p] += n
 
     for a in range(P - 1):
-        ia, ib = kf_ids[a], kf_ids[a + 1]
+        ia, ra, rb = kf_ids[a], rows[a], rows[a + 1]
         idx1, mask1 = pair[a]
-        rows = np.nonzero(mask1)[0][:per_anchor]
-        n = len(rows)
+        sel = np.nonzero(mask1)[0][:per_anchor]
+        n = len(sel)
         if n == 0:
             continue
 
-        Xc = np.asarray(kp3d[ia])[rows]
+        Xc = np.asarray(kp3d[ra])[sel]
         Xw = np.asarray(transform_points(jnp.asarray(Xc), jnp.asarray(poses[ia])))
         lm_ids = np.arange(lm_ctr, lm_ctr + n)
         points[lm_ids] = Xw
         lm_ctr += n
 
-        add_obs(a, ia, rows, lm_ids)
-        add_obs(a + 1, ib, idx1[rows], lm_ids)
+        add_obs(a, ra, sel, lm_ids)
+        add_obs(a + 1, rb, idx1[sel], lm_ids)
 
         # Third view via match composition a -> a+1 -> a+2.
         if a + 2 < P:
             idx2, mask2 = pair[a + 1]
-            hop = idx1[rows]
+            hop = idx1[sel]
             ok3 = mask2[hop]
             if ok3.any() and obs_fill[a + 2] + ok3.sum() <= M:
-                ic = kf_ids[a + 2]
-                add_obs(a + 2, ic, idx2[hop[ok3]], lm_ids[ok3])
+                add_obs(a + 2, rows[a + 2], idx2[hop[ok3]], lm_ids[ok3])
 
     # world->camera for BA convention
     T_cw = np.asarray(pose_inverse(jnp.asarray(poses[kf_ids])))
@@ -155,12 +176,14 @@ def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
 
 
 def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
-                      cfg: RefineConfig = RefineConfig()):
+                      cfg: RefineConfig = RefineConfig(), feat_rows=None):
     """BA-refine a VO trajectory. Returns (refined (F, 4, 4) np, info dict).
 
     Args:
       poses: (F, 4, 4) camera-to-world VO estimates.
-      kp/desc/valid/kp3d: per-frame fixed-budget features (from the extraction pass).
+      kp/desc/valid/kp3d: fixed-budget features (from the extraction pass). Row i
+          holds frame i unless ``feat_rows`` gives the frame id per row (sparse
+          retention from run_offline_vo_streaming(retain="sparse")).
       diag_promoted: (F-1,) keyframe-promotion flags from the engine diagnostics.
     """
     poses = np.asarray(poses)
@@ -170,7 +193,14 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
 
     if diag_promoted is None:
         diag_promoted = np.zeros(F - 1, bool)
-    kfs = _select_keyframes(diag_promoted, F)
+    if feat_rows is None:
+        row_of = np.arange(F)
+        kfs = _select_keyframes(diag_promoted, F)
+    else:
+        feat_rows = np.asarray(feat_rows)
+        row_of = np.full(F, -1, np.int64)
+        row_of[feat_rows] = np.arange(len(feat_rows))
+        kfs = _select_keyframes(diag_promoted, F, allowed=feat_rows)
 
     refined = poses.copy()
     infos = []
@@ -180,16 +210,16 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
         if len(ids) < 3:
             break
         prob = _build_window_problem(ids, refined, kp, desc, valid, kp3d,
-                                     kp3d_valid, K, cfg)
+                                     kp3d_valid, K, cfg, rows=row_of[ids])
         T_cw_opt, _, info = bundle_adjust(prob, cfg.ba)
         T_wc_opt = np.asarray(pose_inverse(T_cw_opt))
         infos.append({k: float(np.asarray(v)) for k, v in info.items()
                       if np.asarray(v).ndim == 0})
 
-        # Re-anchor: apply each keyframe's correction to the frames it anchors.
-        for j, f in enumerate(ids):
-            corr = T_wc_opt[j] @ np.linalg.inv(refined[f])
-            nxt = ids[j + 1] if j + 1 < len(ids) else F
-            for g in range(f, min(nxt, F)):
-                refined[g] = corr @ refined[g]
+        # Re-anchor: each frame from ids[0] on follows its window keyframe's
+        # correction — batched einsum over the tail, not a per-frame Python loop.
+        corr = T_wc_opt @ np.linalg.inv(refined[ids])       # (P, 4, 4)
+        f0 = int(ids[0])
+        j_of = np.searchsorted(ids, np.arange(f0, F), side="right") - 1
+        refined[f0:] = np.einsum("fij,fjk->fik", corr[j_of], refined[f0:])
     return refined, {"windows": infos, "keyframes": kfs}

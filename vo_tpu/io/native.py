@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
@@ -18,12 +19,38 @@ _LIB_PATHS = [
 ]
 
 _lib = None
+_build_attempted = False
+
+
+def _ensure_built() -> None:
+    """Build libvoloader.so from source if it is missing (one `make`, ~2 s, -lz only).
+
+    Round 2 shipped a bench whose IO numbers silently fell back to the PIL path
+    because nothing ever built the library in the bench environment; building on
+    demand makes the native loader the default measured path everywhere the
+    toolchain exists. Failures are swallowed — callers still see the clean
+    ``native_available() == False`` fallback."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    src_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+    so = os.path.join(src_dir, "libvoloader.so")
+    src = os.path.join(src_dir, "vo_loader.cpp")
+    if os.path.exists(so) or not os.path.exists(src):
+        return
+    try:
+        subprocess.run(["make", "-C", src_dir], check=True, timeout=120,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except Exception:
+        pass
 
 
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
+    _ensure_built()
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

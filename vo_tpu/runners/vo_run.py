@@ -54,22 +54,23 @@ def build_extractor(cfg: RunConfig):
     raise ValueError(f"unknown feature_extractor {cfg.feature_extractor!r}")
 
 
-def refine_poses(poses, feats, kp3d, K, diag):
+def refine_poses(poses, feats, kp3d, K, diag, feat_rows=None):
     """BA-refine keyframe windows, then close loops with a pose graph.
 
     The north-star layer the reference lacks (it chains poses open-loop,
-    VisualOdometry_Stereo.py:283,292)."""
+    VisualOdometry_Stereo.py:283,292). ``feat_rows`` maps feature rows to frame ids
+    when the streaming run retained features sparsely."""
     from vo_tpu.engine.loop_closure import detect_loop_closures, optimize_with_loops
     from vo_tpu.engine.refine import refine_trajectory
 
     refined, info = refine_trajectory(
         poses, feats.kp, feats.desc, feats.valid, kp3d, K,
-        diag_promoted=np.asarray(diag.promoted_keyframe))
+        diag_promoted=np.asarray(diag.promoted_keyframe), feat_rows=feat_rows)
     kfs = info["keyframes"]
     print(f"[refine] BA over {len(info['windows'])} windows, "
           f"{len(kfs)} keyframes")
     edges = detect_loop_closures(kfs, refined, feats.kp, feats.desc, feats.valid,
-                                 kp3d, K)
+                                 kp3d, K, feat_rows=feat_rows)
     refined, lc = optimize_with_loops(refined, kfs, edges)
     print(f"[refine] pose graph: {lc['n_loop_edges']} loop edges, "
           f"cost {lc['pgo_cost'][0]:.4f} -> {lc['pgo_cost'][-1]:.4f}")
@@ -77,10 +78,12 @@ def refine_poses(poses, feats, kp3d, K, diag):
 
 
 def write_visualizations(out_dir, image_path, feats, vo_cfg, poses, gt=None,
-                         stride: int = 1, max_frames: int = 400):
+                         stride: int = 1, max_frames: int = 400, feat_rows=None):
     """The reference's visualize_results overlays (VisualOdometry_Stereo.py:162-178):
     per-frame keypoint draws + consecutive-frame match overlays + trajectory plot.
-    Frames are re-read lazily (the streaming run keeps no pixels in memory)."""
+    Frames are re-read lazily (the streaming run keeps no pixels in memory). With
+    sparse feature retention, ``feat_rows`` names the frames that still have features;
+    overlays cover those."""
     from vo_tpu.evalkit.plotting import (draw_keypoints, draw_matches,
                                          plot_trajectories)
     from vo_tpu.matching.matchers import ratio_match, ratio_mutual_nn_match
@@ -89,30 +92,37 @@ def write_visualizations(out_dir, image_path, feats, vo_cfg, poses, gt=None,
     plot_trajectories(os.path.join(out_dir, "trajectory.png"), poses, gt=gt)
 
     seq = RGBDSequence.from_dir(image_path)
-    n = min(len(seq), feats.kp.shape[0], max_frames)
+    if feat_rows is None:
+        frames = np.arange(min(len(seq), feats.kp.shape[0], max_frames))[::stride]
+        rows = frames
+    else:
+        keep = np.asarray(feat_rows) < min(len(seq), max_frames)
+        rows = np.nonzero(keep)[0][::stride]
+        frames = np.asarray(feat_rows)[rows]
     binary = vo_cfg.matcher == "ratio_binary"
     prev = None
-    for i in range(0, n, stride):
+    for r, i in zip(rows, frames):
+        r, i = int(r), int(i)
         img, _ = seq[i]
         draw_keypoints(os.path.join(out_dir, f"kps_{i:06d}.png"),
-                       img, np.asarray(feats.kp[i]), np.asarray(feats.valid[i]))
+                       img, np.asarray(feats.kp[r]), np.asarray(feats.valid[r]))
         if prev is not None:
-            j, pimg = prev
+            rj, j, pimg = prev
             if binary:
-                m = ratio_match(feats.desc[j], feats.desc[i], feats.valid[j],
-                                feats.valid[i], ratio=vo_cfg.ratio,
+                m = ratio_match(feats.desc[rj], feats.desc[r], feats.valid[rj],
+                                feats.valid[r], ratio=vo_cfg.ratio,
                                 binary_dim=feats.desc.shape[-1])
             else:
-                m = ratio_mutual_nn_match(feats.desc[j], feats.desc[i],
-                                          feats.valid[j], feats.valid[i],
+                m = ratio_mutual_nn_match(feats.desc[rj], feats.desc[r],
+                                          feats.valid[rj], feats.valid[r],
                                           ratio=vo_cfg.ratio)
             mask = np.asarray(m.mask)
-            kp1 = np.asarray(feats.kp[j])[mask]
-            kp2 = np.asarray(feats.kp[i])[np.asarray(m.idx)[mask]]
+            kp1 = np.asarray(feats.kp[rj])[mask]
+            kp2 = np.asarray(feats.kp[r])[np.asarray(m.idx)[mask]]
             draw_matches(os.path.join(out_dir, f"matches_{j:06d}_{i:06d}.png"),
                          pimg, img, kp1, kp2, stride=max(len(kp1) // 80, 1))
-        prev = (i, img)
-    print(f"[viz] wrote overlays for {n} frames to {out_dir}/")
+        prev = (r, i, img)
+    print(f"[viz] wrote overlays for {len(frames)} frames to {out_dir}/")
 
 
 def main(argv=None) -> int:
@@ -128,6 +138,9 @@ def main(argv=None) -> int:
                     help="frames between mid-run checkpoints")
     ap.add_argument("--resume", default=None,
                     help="resume a long run from a --checkpoint file")
+    ap.add_argument("--retain", choices=("all", "sparse"), default="all",
+                    help="feature retention: 'sparse' keeps only keyframes + every "
+                         "4th frame so --refine runs in bounded memory on long runs")
     args = ap.parse_args(argv)
 
     cfg = RunConfig.from_yaml(args.config)
@@ -156,10 +169,10 @@ def main(argv=None) -> int:
 
     extractor = build_extractor(cfg)
     t0 = time.time()
-    poses, diag, (feats, kp3d) = run_offline_vo_streaming(
+    poses, diag, (feats, kp3d, feat_rows) = run_offline_vo_streaming(
         batches, n, K, vo_config=cfg.vo, extractor=extractor,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
-        resume_from=args.resume)
+        resume_from=args.resume, retain=args.retain)
     dt = time.time() - t0
     if nat is not None:
         nat.close()
@@ -169,7 +182,8 @@ def main(argv=None) -> int:
 
     if args.refine:
         t1 = time.time()
-        poses = refine_poses(poses, feats, kp3d, K, diag)
+        poses = refine_poses(poses, feats, kp3d, K, diag,
+                             feat_rows=None if args.retain == "all" else feat_rows)
         print(f"[refine] done in {time.time() - t1:.2f}s")
 
     out = cfg.output_filename
@@ -183,7 +197,8 @@ def main(argv=None) -> int:
 
     if cfg.visualize_results:
         viz_dir = (out[:-4] if out.endswith(".npy") else out) + "_viz"
-        write_visualizations(viz_dir, cfg.image_path, feats, cfg.vo, poses, gt=gt)
+        write_visualizations(viz_dir, cfg.image_path, feats, cfg.vo, poses, gt=gt,
+                             feat_rows=None if args.retain == "all" else feat_rows)
 
     if args.eval and gt is not None:
         res = KittiOdomEvaluator().evaluate(gt, poses)

@@ -35,13 +35,25 @@ class Plane:
         return 128.0 + val * 0.45
 
 
-def default_world(seed: int = 8214) -> list[Plane]:
+def default_world(seed: int = 8214, half_width: float = 8.0,
+                  far_z: float = 240.0) -> list[Plane]:
+    """Corridor world. ``far_z`` must exceed any trajectory's final z plus margin —
+    round 2 shipped a bench whose camera drove *through* the far wall (then at 120 m)
+    and rendered frames with zero valid depth; callers should assert
+    ``depth_valid_fraction`` on every rendered frame (bench.py does)."""
     return [
         Plane(p0=np.array([0.0, 1.6, 0.0]), n=np.array([0.0, -1.0, 0.0]), tex_seed=seed + 1),   # ground
-        Plane(p0=np.array([-8.0, 0.0, 0.0]), n=np.array([1.0, 0.0, 0.0]), tex_seed=seed + 2),   # left wall
-        Plane(p0=np.array([8.0, 0.0, 0.0]), n=np.array([-1.0, 0.0, 0.0]), tex_seed=seed + 3),   # right wall
-        Plane(p0=np.array([0.0, 0.0, 120.0]), n=np.array([0.0, 0.0, -1.0]), tex_seed=seed + 4),  # far wall
+        Plane(p0=np.array([-half_width, 0.0, 0.0]), n=np.array([1.0, 0.0, 0.0]), tex_seed=seed + 2),   # left wall
+        Plane(p0=np.array([half_width, 0.0, 0.0]), n=np.array([-1.0, 0.0, 0.0]), tex_seed=seed + 3),   # right wall
+        Plane(p0=np.array([0.0, 0.0, far_z]), n=np.array([0.0, 0.0, -1.0]), tex_seed=seed + 4),  # far wall
     ]
+
+
+def depth_valid_fraction(depth: np.ndarray, lo: float = 0.0, hi: float = 50.0) -> np.ndarray:
+    """Fraction of pixels whose depth passes the engine's PnP gate (VOConfig
+    min/max_point_depth — reference gate VisualOdometry_Stereo.py:100). Computed over
+    the trailing two axes, so it maps over a (F, H, W) stack."""
+    return ((depth > lo) & (depth < hi)).mean(axis=(-2, -1))
 
 
 def _plane_axes(n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -58,7 +70,7 @@ def render_rgbd(
     H: int = 240,
     W: int = 320,
     world: list[Plane] | None = None,
-    max_depth: float = 200.0,
+    max_depth: float = 260.0,   # must exceed default_world far_z so the wall renders
 ) -> tuple[np.ndarray, np.ndarray]:
     """Ray-cast the plane world from camera-to-world pose ``T_wc``.
 
@@ -109,11 +121,40 @@ def drive_trajectory(n_frames: int, step: float = 0.8, yaw_rate: float = 0.004) 
     return poses
 
 
+def slalom_trajectory(n_frames: int, step: float = 0.8, yaw_amp: float = 0.2,
+                      period_m: float = 64.0) -> np.ndarray:
+    """(F, 4, 4) camera-to-world poses: forward drive with a sinusoidal heading.
+
+    Unlike ``drive_trajectory``'s constant turn (whose arc walks the camera out of any
+    finite-width corridor — the round-2 bench bug), the heading here is
+    ``yaw(s) = yaw_amp * sin(2*pi*s/period_m)`` over arc length s, so the lateral
+    excursion is bounded by ~``2*yaw_amp*period_m/(2*pi)`` (≈4.1 m at the defaults)
+    while still exercising real rotation (±yaw_amp rad, ~1.1 deg/m peak turn rate —
+    KITTI-like) for the seg-rot metric.
+    """
+    poses = np.zeros((n_frames, 4, 4))
+    pos = np.zeros(3)
+    for i in range(n_frames):
+        yaw = yaw_amp * np.sin(2 * np.pi * (i * step) / period_m)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos
+        poses[i, 3, 3] = 1.0
+        pos = pos + R @ np.array([0.0, 0.0, step])
+    return poses
+
+
 def render_sequence(n_frames: int, K: np.ndarray, H: int = 240, W: int = 320,
                     step: float = 0.8, yaw_rate: float = 0.004,
-                    world: list[Plane] | None = None):
-    """Render a full synthetic drive. Returns (gray (F,H,W), depth (F,H,W), T_wc (F,4,4))."""
-    traj = drive_trajectory(n_frames, step=step, yaw_rate=yaw_rate)
+                    world: list[Plane] | None = None,
+                    traj: np.ndarray | None = None):
+    """Render a full synthetic drive. Returns (gray (F,H,W), depth (F,H,W), T_wc (F,4,4)).
+
+    ``traj`` overrides the built-in constant-turn drive (e.g. pass
+    ``slalom_trajectory(...)`` to stay inside the default corridor on long paths)."""
+    if traj is None:
+        traj = drive_trajectory(n_frames, step=step, yaw_rate=yaw_rate)
     imgs, deps = [], []
     for T in traj:
         g, d = render_rgbd(T, K, H=H, W=W, world=world)
