@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from vo_tpu.geometry.se3 import se3_exp
 from vo_tpu.geometry.so3 import hat
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 @dataclass(frozen=True)
 class BAConfig:
@@ -198,6 +200,7 @@ def _total_cost(r, w):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@geometry_precision
 def bundle_adjust(prob: BAProblem, cfg: BAConfig = BAConfig()):
     """LM-damped Schur BA. Returns (poses, points, info dict)."""
     P = prob.poses.shape[0]

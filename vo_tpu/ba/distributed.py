@@ -40,6 +40,8 @@ from vo_tpu.ba.bundle_adjust import (
 )
 from vo_tpu.geometry.se3 import se3_exp
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 def _pad_problem(prob: BAProblem, n_shards: int) -> tuple[BAProblem, int, int]:
     """Pad poses to a multiple of n_shards (identity poses, no observations) and
@@ -66,6 +68,7 @@ def _pad_problem(prob: BAProblem, n_shards: int) -> tuple[BAProblem, int, int]:
     return prob, P_, L
 
 
+@geometry_precision
 def _ba_shard_body(poses, points, obs_lm, obs_uv, obs_valid, K, obs_z,
                    *, cfg: BAConfig, axis: str, n_fixed: int, has_z: bool):
     """shard_map body. poses/points/K replicated; obs_* hold this shard's keyframe

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from vo_tpu.geometry.se3 import pose_inverse, se3_exp, se3_log
 from vo_tpu.geometry.so3 import hat
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 @dataclass(frozen=True)
 class PoseGraphConfig:
@@ -43,6 +45,7 @@ def adjoint(T: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_nodes"))
+@geometry_precision
 def optimize_pose_graph(
     poses: jnp.ndarray,        # (N, 4, 4) camera-to-world initial estimates
     edges_ij: jnp.ndarray,     # (E, 2) int32 node indices

@@ -159,7 +159,12 @@ class VOEngine:
         motion_ok = step_norm <= cfg.max_speed * jnp.maximum(frame_gap, 1.0)
         accepted = pnp.ok & motion_ok
 
-        cur_pose = jnp.where(accepted, state.ref_pose @ rel, state.ref_pose)
+        # f32 pose chaining: a bf16 MXU pass on a 4x4 with ~100 m translations
+        # rounds at the ~0.25 m level — catastrophic when accumulated per frame
+        # (see ops/precision.py).
+        with jax.default_matmul_precision("highest"):
+            chained = state.ref_pose @ rel
+        cur_pose = jnp.where(accepted, chained, state.ref_pose)
         bad_pnp = jnp.where(accepted, 0, state.bad_pnp + 1)
 
         promote = accepted & ((n_matches < cfg.kf_min_matches)

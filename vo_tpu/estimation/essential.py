@@ -28,6 +28,8 @@ from vo_tpu.geometry.se3 import pose_from_rt
 from vo_tpu.geometry.so3 import hat, so3_exp
 from vo_tpu.ops.smalllinalg import smallest_eigvec, solve_spd_small, svd3x3
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 @dataclass(frozen=True)
 class EssentialConfig:
@@ -191,6 +193,7 @@ def _refine_pose_sampson(R0, t0, x1, x2, valid_w, sigma2: float = 1e-5,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@geometry_precision
 def essential_ransac(
     key: jax.Array,
     kp1: jnp.ndarray,       # (N, 2) pixels, view 1
@@ -280,6 +283,7 @@ def essential_ransac(
 
 
 @partial(jax.jit, static_argnames=("n_pairs",))
+@geometry_precision
 def relative_scale(
     key: jax.Array,
     pts_a: jnp.ndarray,     # (N, 3) 3D points in frame A's scale

@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 def apply_homography(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Map (..., N, 2) points through (..., 3, 3) H (projective normalize)."""
@@ -103,6 +105,7 @@ def _sym_transfer_err(H, src, dst):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@geometry_precision
 def homography_ransac(key, src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
                       cfg: HomographyConfig = HomographyConfig()) -> HomographyResult:
     """Fixed-shape RANSAC homography from (N, 2) correspondences with validity mask.

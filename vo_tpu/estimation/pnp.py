@@ -38,6 +38,8 @@ from vo_tpu.geometry.se3 import pose_from_rt, se3_exp
 from vo_tpu.geometry.so3 import hat
 from vo_tpu.ops.smalllinalg import smallest_eigvec, solve_spd_small, svd3x3
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 @dataclass(frozen=True)
 class PnPConfig:
@@ -175,6 +177,7 @@ def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@geometry_precision
 def pnp_ransac(
     key: jax.Array,
     points_3d: jnp.ndarray,

@@ -13,7 +13,10 @@ import jax.numpy as jnp
 from vo_tpu.geometry.se3 import pose_from_rt
 from vo_tpu.ops.smalllinalg import svd3x3
 
+from vo_tpu.ops.precision import geometry_precision
 
+
+@geometry_precision
 def kabsch(A: jnp.ndarray, B: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
     """Rigid transform from A to B: returns (..., 4, 4) T with B ~= R A + t.
 

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from vo_tpu.geometry.so3 import hat, so3_exp, so3_log
 
+from vo_tpu.ops.precision import geometry_precision
+
 _EPS = 1e-8
 
 
@@ -31,6 +33,7 @@ def pose_from_rt(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return T
 
 
+@geometry_precision
 def pose_inverse(T: jnp.ndarray) -> jnp.ndarray:
     """Closed-form SE3 inverse: [R t]^-1 = [R^T  -R^T t]."""
     R = T[..., :3, :3]
@@ -40,11 +43,13 @@ def pose_inverse(T: jnp.ndarray) -> jnp.ndarray:
     return pose_from_rt(Rt, t_inv)
 
 
+@geometry_precision
 def pose_compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Compose homogeneous transforms: A @ B, batched."""
     return A @ B
 
 
+@geometry_precision
 def transform_points(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) transform to (..., N, 3) points (reference: geom_utils.py:128)."""
     R = T[..., :3, :3]
@@ -52,6 +57,7 @@ def transform_points(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...nj->...ni", R, points) + t[..., None, :]
 
 
+@geometry_precision
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """Exponential map: (..., 6) twist [v, w] -> (..., 4, 4) pose.
 
@@ -74,6 +80,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     return pose_from_rt(R, t)
 
 
+@geometry_precision
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map: (..., 4, 4) pose -> (..., 6) twist [v, w]."""
     R = T[..., :3, :3]
@@ -97,6 +104,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([v, w], axis=-1)
 
 
+@geometry_precision
 def chain_relative_poses(rel_poses: jnp.ndarray, initial: jnp.ndarray | None = None) -> jnp.ndarray:
     """Accumulate relative poses into global poses with an associative scan.
 

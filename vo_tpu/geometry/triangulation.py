@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from vo_tpu.geometry.camera import normalize_kp
 
+from vo_tpu.ops.precision import geometry_precision
+
 
 def _dlt_solve(A: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = 0 per batch row: null vector = last right-singular vector."""
@@ -22,6 +24,7 @@ def _dlt_solve(A: jnp.ndarray) -> jnp.ndarray:
     return X[..., :3] / w_safe
 
 
+@geometry_precision
 def triangulate(
     kp1: jnp.ndarray,
     kp2: jnp.ndarray,

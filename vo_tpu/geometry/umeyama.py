@@ -8,7 +8,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from vo_tpu.ops.precision import geometry_precision
 
+
+@geometry_precision
 def umeyama_alignment(
     x: jnp.ndarray, y: jnp.ndarray, with_scale: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

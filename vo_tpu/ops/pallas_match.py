@@ -63,8 +63,13 @@ def _match_kernel(TM, TC, nI, nJ, bf16,
         b = b_ref[jc * TC:(jc + 1) * TC, :]          # (TC, Dp)
         if bf16:
             b = b.astype(jnp.bfloat16)
+        # Pin DEFAULT precision: a caller-scoped default_matmul_precision("highest")
+        # (the geometry solvers set it) would otherwise request an fp32 contract on
+        # bf16 operands, which Mosaic rejects ("Bad lhs type"). bf16 inputs with f32
+        # accumulation are exact for the +-1 binary descriptors anyway.
         sim = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # (TM, TC) MXU
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)  # (TM, TC) MXU
         vbc = vb_ref[0:1, jc * TC:(jc + 1) * TC]     # (1, TC) f32
         sim = jnp.where(va_col & (vbc > 0.0), sim, _NEG)
 
