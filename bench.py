@@ -76,16 +76,20 @@ def _sequence():
 
 
 def _sequence_dir(imgs, deps) -> str:
-    """Materialize the sequence as (*.png, *_depth.npy) pairs for the IO-included run."""
-    d = f"/tmp/vo_tpu_bench_dir_{WORKLOAD}_{F}x{H}x{W}"
+    """Materialize the sequence as (*.png, *_depth.npy) pairs for the IO-included run.
+
+    The synthetic frames are grayscale; storing them as single-channel PNGs (a format
+    the reference's cv2.imread path reads identically) is 3x fewer bytes through the
+    zlib inflate — the decode-side bottleneck on a small host."""
+    d = f"/tmp/vo_tpu_bench_dir_{WORKLOAD}_gray_{F}x{H}x{W}"
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
         from PIL import Image
 
         os.makedirs(d, exist_ok=True)
         for i in range(F):
-            rgb = np.stack([np.clip(imgs[i], 0, 255).astype(np.uint8)] * 3, -1)
-            Image.fromarray(rgb).save(os.path.join(d, f"{i:06d}.png"))
+            g = np.clip(imgs[i], 0, 255).astype(np.uint8)
+            Image.fromarray(g, mode="L").save(os.path.join(d, f"{i:06d}.png"))
             np.save(os.path.join(d, f"{i:06d}_depth.npy"), deps[i])
         open(marker, "w").close()
     return d
@@ -208,15 +212,18 @@ def main() -> None:
             batches = RGBDSequence.from_dir(seq_dir).iter_batches(EXTRACT_BATCH)
             loader = "pil"
         t0 = time.perf_counter()
-        p, _, _ = run_offline_vo_streaming(batches, F, K, vo_config=vo_cfg,
-                                           extractor=extractor)
+        p, dg, _ = run_offline_vo_streaming(batches, F, K, vo_config=vo_cfg,
+                                            extractor=extractor,
+                                            transfer_depth="uint16mm")
         dt = time.perf_counter() - t0
         if nat is not None:
             nat.close()
-        return F / dt, loader
+        return F / dt, loader, p, dg
 
     io_run()                      # warm-up (rgb-input extraction compiles here)
-    fps_io, loader = io_run()
+    fps_io, loader, io_poses, io_diag = io_run()
+    # The IO path rides the mm-quantized depth transfer — gate its trajectory too.
+    _, _, _, io_sane = _score(gt, io_poses, io_diag)
 
     # R2D2 (learned CNN) trajectory: the reference's flagship extractor driving the
     # same engine, with its cosine ratio + mutual-NN matcher (R2D2.py:234,53-66).
@@ -285,6 +292,7 @@ def main() -> None:
         "engine_ms_per_frame": round(min(t_en) / F * 1000, 3),
         "fps_io_included": round(fps_io, 2),
         "io_loader": loader,
+        "io_trajectory_sane": io_sane,
         "r2d2_pipeline_fps": round(r2d2_fps, 2) if r2d2_fps else None,
         "r2d2_trajectory_sane": r2d2_sane,
         "r2d2_seg_trans_err_pct": (round(float(r2d2_res.seg_trans_err_pct), 3)

@@ -114,6 +114,31 @@ class TestStreamingPipeline:
                                       np.asarray(feats_f.kp)[rows])
         np.testing.assert_array_equal(np.asarray(kp3d_s), np.asarray(kp3d_f)[rows])
 
+    def test_uint16mm_depth_transfer_matches_f32(self):
+        """The reduced-bandwidth mm-quantized depth transfer must reproduce the f32
+        trajectory to quantization tolerance (<= 0.5 mm per depth sample)."""
+        F = 10
+        imgs, deps, _ = render_sequence(F, K, H=240, W=320, step=0.8)
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+
+        def batches(B=4):
+            for s in range(0, F, B):
+                idx = np.arange(s, min(s + B, F))
+                idx = np.concatenate([idx, np.full(B - len(idx), F - 1)])
+                yield s, imgs[idx], deps[idx]
+
+        poses_f32, _, _ = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex)
+        poses_mm, _, _ = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex,
+            transfer_depth="uint16mm")
+        np.testing.assert_allclose(poses_mm[:, :3, 3], poses_f32[:, :3, 3],
+                                   atol=5e-2)
+        np.testing.assert_allclose(poses_mm[:, :3, :3], poses_f32[:, :3, :3],
+                                   atol=5e-3)
+
     def test_decode_error_propagates(self):
         def bad_batches():
             raise RuntimeError("decode exploded")

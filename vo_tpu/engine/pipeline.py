@@ -23,14 +23,19 @@ from vo_tpu.geometry.camera import depth_to_3d_at
 def extract_and_backproject(
     extractor,
     images: jnp.ndarray,   # (F, H, W) gray or (F, H, W, 3) RGB
-    depths: jnp.ndarray,   # (F, H, W)
+    depths: jnp.ndarray,   # (F, H, W) f32 metres, or uint16 millimetres
     K: jnp.ndarray,
 ):
     """Batched features + per-frame keypoint 3D back-projection.
 
     The fused equivalent of extract_features_and_desc + cv2.rgbd.depthTo3d + gather
     (VisualOdometry_Stereo.py:249,96-97) for every frame at once.
+
+    uint16 depths are millimetre-quantized (the streaming runner's reduced-bandwidth
+    host->device transfer format) and are dequantized to metres here.
     """
+    if depths.dtype == jnp.uint16:
+        depths = depths.astype(jnp.float32) * 1e-3
     feats: Features = extractor(images)
     kp3d = jax.vmap(lambda d, kp: depth_to_3d_at(d, kp, K))(depths, feats.kp)
     return feats, kp3d
@@ -127,6 +132,7 @@ def run_offline_vo_streaming(
     resume_from: str | None = None,
     retain: str = "all",
     retain_stride: int = 4,
+    transfer_depth: str = "float32",
 ):
     """Streaming pipeline: decode overlaps device compute, peak host RAM = O(batch).
 
@@ -151,12 +157,26 @@ def run_offline_vo_streaming(
     Returns (poses, diag, (feats, kp3d, feat_rows)); ``feat_rows`` is the frame id of
     each retained feature row (``arange(n_frames)`` for retain="all"). Pixels are
     never kept.
+
+    ``transfer_depth="uint16mm"`` ships depth host->device as millimetre-quantized
+    uint16 (dequantized on device by ``extract_and_backproject``) — half the bytes of
+    f32 with uniform 1 mm precision up to 65.5 m; deeper pixels clamp, which is
+    loss-free for any depth gate <= 65 m (the engine's is 50 m). Keep "float32" when
+    valid depths beyond 65 m matter.
+
+    Host->device staging happens on the producer thread and the per-chunk
+    device->host sync (poses + diagnostics) is deferred one chunk, so decode, PCIe/
+    link transfer, device compute, and result readback all overlap (a high-latency
+    device link otherwise serializes the loop on a dozen tiny syncs per chunk).
     """
     import queue
     import threading
 
     if retain not in ("all", "sparse"):
         raise ValueError(f"retain must be 'all' or 'sparse', got {retain!r}")
+    if transfer_depth not in ("float32", "uint16mm"):
+        raise ValueError(f"transfer_depth must be 'float32' or 'uint16mm', "
+                         f"got {transfer_depth!r}")
     if extractor is None:
         extractor = OrbLikeExtractor()
     Kj = jnp.asarray(K, jnp.float32)
@@ -166,9 +186,16 @@ def run_offline_vo_streaming(
     err: list[BaseException] = []
 
     def producer():
+        """Decode-side thread: also stages each batch into device memory so the
+        host->device copy overlaps the consumer's compute and readback."""
         try:
-            for item in batches:
-                q.put(item)
+            for start, imgs, deps in batches:
+                if transfer_depth == "uint16mm":
+                    deps = (np.clip(np.asarray(deps, np.float32), 0.0, 65.535)
+                            * 1000.0).astype(np.uint16)
+                else:
+                    deps = np.asarray(deps, np.float32)
+                q.put((start, jax.device_put(imgs), jax.device_put(deps)))
         except BaseException as e:  # surface decode errors on the consumer side
             err.append(e)
         finally:
@@ -201,19 +228,41 @@ def run_offline_vo_streaming(
             feat_chunks.append((jax.tree.map(lambda a: a[rows], feats), kp3d[rows]))
             feat_rows_list.append(fid[rows])
 
+    # One-chunk software pipeline: the readback of chunk i happens after chunk i+1's
+    # device work is enqueued, so link latency hides under compute.
+    pending = None   # (start, B, lo, n_real, end, feats, kp3d, poses_dev, diag_dev,
+                     #  state_after)
+
+    def flush():
+        nonlocal pending, since_ckpt
+        if pending is None:
+            return
+        start, B, lo, n_real, end, feats, kp3d, poses_dev, diag_dev, st = pending
+        pending = None
+        poses_np, diag_np = jax.device_get((poses_dev, diag_dev))
+        poses_list.append(poses_np[:n_real])
+        diag_chunks.append(jax.tree.map(lambda a: a[:n_real], diag_np))
+        promoted = np.zeros(B, bool)
+        promoted[lo:lo + n_real] = diag_chunks[-1].promoted_keyframe
+        retain_chunk(feats, kp3d, start, promoted)
+        since_ckpt += n_real
+        if checkpoint_path and checkpoint_every and since_ckpt >= checkpoint_every:
+            save_vo_checkpoint(checkpoint_path, end,
+                               np.concatenate(poses_list), st)
+            since_ckpt = 0
+
     while True:
         item = q.get()
         if item is None:
             break
-        start, imgs, deps = item
-        feats, kp3d = extract_and_backproject(
-            extractor, jnp.asarray(imgs), jnp.asarray(deps, jnp.float32), Kj)
+        start, imgs_d, deps_d = item
+        feats, kp3d = extract_and_backproject(extractor, imgs_d, deps_d, Kj)
 
         B = feats.kp.shape[0]
-        promoted = np.zeros(B, bool)
         end = min(start + B, n_frames)
         if end <= next_frame:
-            retain_chunk(feats, kp3d, start, promoted)
+            flush()                       # keep feat_chunks in frame order
+            retain_chunk(feats, kp3d, start, np.zeros(B, bool))
             continue                      # resumed past this chunk entirely
         lo = max(next_frame - start, 0)   # first unprocessed row in this chunk
 
@@ -224,24 +273,18 @@ def run_offline_vo_streaming(
             next_frame = 1
             lo = 1
             if end <= 1:
-                retain_chunk(feats, kp3d, start, promoted)
+                retain_chunk(feats, kp3d, start, np.zeros(B, bool))
                 continue
         ids = jnp.arange(start + lo, start + B, dtype=jnp.int32)
         state, poses, diag = engine.run_chunk(
             state, feats.kp[lo:], feats.desc[lo:], feats.valid[lo:], kp3d[lo:],
             ids, Kj)
         n_real = end - (start + lo)       # drop tail padding rows
-        poses_list.append(np.asarray(poses)[:n_real])
-        diag_chunks.append(jax.tree.map(lambda a: np.asarray(a)[:n_real], diag))
-        promoted[lo:lo + n_real] = diag_chunks[-1].promoted_keyframe
-        retain_chunk(feats, kp3d, start, promoted)
+        flush()                           # sync chunk i-1 while chunk i computes
+        pending = (start, B, lo, n_real, end, feats, kp3d, poses, diag, state)
         next_frame = end
-        since_ckpt += n_real
-        if checkpoint_path and checkpoint_every and since_ckpt >= checkpoint_every:
-            save_vo_checkpoint(checkpoint_path, next_frame,
-                               np.concatenate(poses_list), state)
-            since_ckpt = 0
 
+    flush()
     if err:
         raise err[0]
     if not feat_chunks:

@@ -29,8 +29,11 @@ def _avg_pool(x, n):
 
 
 def _max_pool(x, n):
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, n, n), (1, n, n),
-                                 "VALID")
+    # Pool a dummy trailing channel dim: the (B, H, W) form differentiates through
+    # SelectAndScatter with one inactive dim, which TPU's XLA backend rejects
+    # ("less than 2 inactive dims is not implemented"); (B, H, W, 1) lowers fine.
+    return jax.lax.reduce_window(x[..., None], -jnp.inf, jax.lax.max,
+                                 (1, n, n, 1), (1, n, n, 1), "VALID")[..., 0]
 
 
 def _bilinear_at(img, xy):
