@@ -40,7 +40,10 @@ class RunConfig:
 
     # TPU engine knobs (defaults mirror the reference's hard-coded constants)
     max_keypoints: int = 2048
-    extraction_batch: int = 32
+    extraction_batch: int = 16   # XLA compile time grows ~linearly with the batched
+                                 # extraction graph; 16 keeps first-compile tolerable
+                                 # (32 measured ~3 min on a tunneled v5e) while still
+                                 # saturating the chip
     octaves: int = 1             # >1: octave-pyramid classic extraction (cv2 ORB/SIFT
                                  # detect over pyramids; features/pyramid.py)
     oriented: bool = False       # gradhist dominant-orientation normalization

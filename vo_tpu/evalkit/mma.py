@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vo_tpu.matching.matchers import mutual_nn_match
-from vo_tpu.train.pairs import photometric_augment, random_homography, warp_pair
+from vo_tpu.train.pairs import warp_eval_batch
 
 
 def _project(Hm: np.ndarray, xy: np.ndarray) -> np.ndarray:
@@ -51,12 +51,8 @@ def mma_on_warps(extract_fn, images, key, thresholds=tuple(range(1, 11)),
     and mean mutual-NN ``n_matches``.
     """
     images = jnp.asarray(images, jnp.float32)
-    B, H, W = images.shape
-    k_h, k_p = jax.random.split(key)
-    Hmats = jax.vmap(lambda k: random_homography(k, H, W))(jax.random.split(k_h, B))
-    img2, _, _ = jax.vmap(warp_pair)(images, Hmats)
-    if photometric:
-        img2 = jax.vmap(photometric_augment)(jax.random.split(k_p, B), img2)
+    B = images.shape[0]
+    Hmats, img2 = warp_eval_batch(key, images, photometric)
 
     f1 = extract_fn(images)
     f2 = extract_fn(img2)

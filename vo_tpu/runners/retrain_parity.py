@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     from vo_tpu.train.datasets import (CatPairs, ImageFolder, RandomWindowPairLoader,
                                        StillPairs, SyntheticHomographyPairs,
                                        WindowLoaderConfig)
-    from vo_tpu.train.pairs import photometric_augment
+    from vo_tpu.train.pairs import photometric_augment_batch
 
     spec = FAST_QUAD_L2NET_CONFCFS
     cfg = TrainConfig(batch=args.batch, height=args.crop, width=args.crop, lr=args.lr)
@@ -124,11 +124,22 @@ def main(argv=None) -> int:
           f"({init['mean_matches']:.0f} matches)")
 
     if data_dir:
+        import queue
+        import threading
+
         folder = ImageFolder(data_dir)
         loader = RandomWindowPairLoader(
             CatPairs(StillPairs(folder, 480), SyntheticHomographyPairs(folder, 480)),
             WindowLoaderConfig(crop=args.crop, seed=cfg.seed))
-        get_batch = lambda: loader.batch(cfg.batch)
+
+        bq: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def producer():
+            for _ in range(args.steps):
+                bq.put(loader.batch(cfg.batch))
+
+        threading.Thread(target=producer, daemon=True).start()
+        get_batch = bq.get
     else:
         from vo_tpu.train.pairs import synthetic_pair_batch
 
@@ -141,8 +152,7 @@ def main(argv=None) -> int:
     for i in range(1, args.steps + 1):
         key, sub = jax.random.split(key)
         img1, img2, aflow, mask = get_batch()
-        img2 = jax.vmap(photometric_augment)(
-            jax.random.split(sub, cfg.batch), jnp.asarray(img2))
+        img2 = photometric_augment_batch(sub, jnp.asarray(img2))
         batch = (jnp.asarray(img1), img2, jnp.asarray(aflow), jnp.asarray(mask))
         state, metrics = train_step_batch(state, batch, spec, cfg)
         if i % args.eval_every == 0 or i == args.steps:
@@ -154,16 +164,24 @@ def main(argv=None) -> int:
             print(f"[parity] step {i}: loss {float(metrics['total']):.4f} "
                   f"mma@3 {m['mma@3']:.3f} ({m['mean_matches']:.0f} matches) "
                   f"| {rate:.1f} img/s")
+            _write(report, args.out, t0)   # incremental: a killed run still reports
 
-    report["mma3_trained"] = report["curve"][-1]["mma3"] if report["curve"] else None
-    report["train_seconds"] = round(time.time() - t0, 1)
-    report["device"] = str(jax.devices()[0])
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
     print(f"[parity] wrote {args.out}: init {report['mma3_init']:.3f} -> "
           f"trained {report['mma3_trained']:.3f} "
           f"(ported {report.get('mma3_ported')})")
     return 0
+
+
+def _write(report: dict, out: str, t0: float) -> None:
+    report["mma3_trained"] = report["curve"][-1]["mma3"] if report["curve"] else None
+    report["mma3_trained_best"] = (max(c["mma3"] for c in report["curve"])
+                                   if report["curve"] else None)
+    report["train_seconds"] = round(time.time() - t0, 1)
+    report["device"] = str(jax.devices()[0])
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=1)
+    os.replace(tmp, out)
 
 
 if __name__ == "__main__":

@@ -99,7 +99,7 @@ def main(argv=None) -> int:
     if args.data_dir:
         import jax.numpy as jnp
 
-        from vo_tpu.train.pairs import photometric_augment
+        from vo_tpu.train.pairs import photometric_augment_batch
 
         batch_iter = iter(real_image_batches(args, cfg, args.steps))
 
@@ -107,8 +107,7 @@ def main(argv=None) -> int:
             img1, img2, aflow, mask = next(batch_iter)
             img2 = jnp.asarray(img2)
             if args.photometric:
-                img2 = jax.vmap(photometric_augment)(
-                    jax.random.split(sub, img2.shape[0]), img2)
+                img2 = photometric_augment_batch(sub, img2)
             batch = (jnp.asarray(img1), img2, jnp.asarray(aflow), jnp.asarray(mask))
             return train_step_batch(state, batch, spec, cfg)
     else:

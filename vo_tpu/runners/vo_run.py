@@ -141,6 +141,11 @@ def main(argv=None) -> int:
     ap.add_argument("--retain", choices=("all", "sparse"), default="all",
                     help="feature retention: 'sparse' keeps only keyframes + every "
                          "4th frame so --refine runs in bounded memory on long runs")
+    ap.add_argument("--depth-transfer", choices=("float32", "uint16mm"),
+                    default="float32",
+                    help="host->device depth format: 'uint16mm' halves link bytes "
+                         "(1 mm quantization, clamps beyond 65.5 m — fine for any "
+                         "depth gate <= 65 m)")
     args = ap.parse_args(argv)
 
     cfg = RunConfig.from_yaml(args.config)
@@ -172,7 +177,8 @@ def main(argv=None) -> int:
     poses, diag, (feats, kp3d, feat_rows) = run_offline_vo_streaming(
         batches, n, K, vo_config=cfg.vo, extractor=extractor,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
-        resume_from=args.resume, retain=args.retain)
+        resume_from=args.resume, retain=args.retain,
+        transfer_depth=args.depth_transfer)
     dt = time.time() - t0
     if nat is not None:
         nat.close()

@@ -145,3 +145,27 @@ def pair_batch_from_images(key, images: jnp.ndarray, photometric: bool = True):
     if photometric:
         img2 = jax.vmap(photometric_augment)(jax.random.split(k_p, B), img2)
     return images, img2, flow, mask
+
+
+@jax.jit
+def photometric_augment_batch(key, imgs: jnp.ndarray) -> jnp.ndarray:
+    """Jitted per-image photometric jitter over a (B, H, W) batch.
+
+    Callers in host loops must use this (not a bare ``jax.vmap(photometric_augment)``,
+    which executes op-by-op — hundreds of tiny dispatches per step, ruinous over a
+    high-latency device link)."""
+    return jax.vmap(photometric_augment)(jax.random.split(key, imgs.shape[0]), imgs)
+
+
+@partial(jax.jit, static_argnames=("photometric",))
+def warp_eval_batch(key, images: jnp.ndarray, photometric: bool = True):
+    """One fused dispatch for the MMA harness's pair synthesis: per-image random
+    homographies + warp (+ photometric jitter). Returns (Hmats (B,3,3), img2)."""
+    images = jnp.asarray(images, jnp.float32)
+    B, H, W = images.shape
+    k_h, k_p = jax.random.split(key)
+    Hmats = jax.vmap(lambda k: random_homography(k, H, W))(jax.random.split(k_h, B))
+    img2, _, _ = jax.vmap(warp_pair)(images, Hmats)
+    if photometric:
+        img2 = jax.vmap(photometric_augment)(jax.random.split(k_p, B), img2)
+    return Hmats, img2
