@@ -120,6 +120,33 @@ def load_vo_checkpoint(path: str):
         return int(blob["next_frame"]), blob["poses"], VOState(*fields)
 
 
+@jax.jit
+def _pack_chunk_results(poses, diag):
+    """Flatten a chunk's (poses, VOStepDiagnostics) into ONE (B, 21) f32 array.
+
+    The streaming runner reads results back once per chunk; fetching the tree
+    leaf-by-leaf costs one link round-trip per leaf (6x the latency on a remote
+    device). All fields are exactly representable in f32 (counts < 2^24, flags 0/1)."""
+    B = poses.shape[0]
+    cols = [poses.reshape(B, 16)] + [d.astype(jnp.float32).reshape(B, 1) for d in diag]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_chunk_results(packed: np.ndarray):
+    """Host-side inverse of ``_pack_chunk_results`` -> (poses (B,4,4), diagnostics)."""
+    from vo_tpu.engine.vo import VOStepDiagnostics
+
+    poses = packed[:, :16].reshape(-1, 4, 4)
+    diag = VOStepDiagnostics(
+        n_matches=packed[:, 16].astype(np.int32),
+        n_inliers=packed[:, 17].astype(np.int32),
+        accepted=packed[:, 18].astype(bool),
+        promoted_keyframe=packed[:, 19].astype(bool),
+        step_norm=packed[:, 20].astype(np.float32),
+    )
+    return poses, diag
+
+
 def run_offline_vo_streaming(
     batches,
     n_frames: int,
@@ -229,17 +256,17 @@ def run_offline_vo_streaming(
             feat_rows_list.append(fid[rows])
 
     # One-chunk software pipeline: the readback of chunk i happens after chunk i+1's
-    # device work is enqueued, so link latency hides under compute.
-    pending = None   # (start, B, lo, n_real, end, feats, kp3d, poses_dev, diag_dev,
-                     #  state_after)
+    # device work is enqueued, so link latency hides under compute. Results come back
+    # as ONE packed array per chunk (a tree readback costs one round-trip per leaf).
+    pending = None   # (start, B, lo, n_real, end, feats, kp3d, packed_dev, state_after)
 
     def flush():
         nonlocal pending, since_ckpt
         if pending is None:
             return
-        start, B, lo, n_real, end, feats, kp3d, poses_dev, diag_dev, st = pending
+        start, B, lo, n_real, end, feats, kp3d, packed_dev, st = pending
         pending = None
-        poses_np, diag_np = jax.device_get((poses_dev, diag_dev))
+        poses_np, diag_np = _unpack_chunk_results(np.asarray(packed_dev))
         poses_list.append(poses_np[:n_real])
         diag_chunks.append(jax.tree.map(lambda a: a[:n_real], diag_np))
         promoted = np.zeros(B, bool)
@@ -280,8 +307,9 @@ def run_offline_vo_streaming(
             state, feats.kp[lo:], feats.desc[lo:], feats.valid[lo:], kp3d[lo:],
             ids, Kj)
         n_real = end - (start + lo)       # drop tail padding rows
+        packed = _pack_chunk_results(poses, diag)
         flush()                           # sync chunk i-1 while chunk i computes
-        pending = (start, B, lo, n_real, end, feats, kp3d, poses, diag, state)
+        pending = (start, B, lo, n_real, end, feats, kp3d, packed, state)
         next_frame = end
 
     flush()
