@@ -52,6 +52,21 @@ class TestLoopClosure:
         assert e_after[-1] < 0.5 * e_before[-1], (e_before[-1], e_after[-1])
         assert e_after.mean() < e_before.mean()
 
+    def test_non_revisiting_trajectory_proposes_no_candidates(self):
+        """An oscillating forward drive never revisits: near-in-space pairs are also
+        near-along-path, so the path-gap gate must yield ZERO candidates (short-range
+        pseudo-loops at 20x weight measurably corrupt the pose graph)."""
+        from vo_tpu.utils.synthetic import slalom_trajectory
+
+        F = 200
+        poses = slalom_trajectory(F, step=0.5)
+        kfs = np.arange(0, F, 4)
+        dummy = np.zeros((F, 4, 2), np.float32)   # untouched when no candidates
+        edges = detect_loop_closures(
+            kfs, poses, dummy, dummy, np.zeros((F, 4), bool),
+            np.zeros((F, 4, 3), np.float32), K, LoopClosureConfig())
+        assert edges == []
+
     def test_no_loops_is_identity(self, rng):
         F = 12
         _, _, gt = render_sequence(F, K, H=120, W=160, step=0.8)

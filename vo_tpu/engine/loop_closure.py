@@ -34,6 +34,14 @@ from vo_tpu.matching.matchers import ratio_match, ratio_mutual_nn_match
 class LoopClosureConfig:
     min_gap: int = 8             # min keyframe-index separation for a loop candidate
     radius: float = 10.0         # candidate search radius around the current estimate (m)
+    min_path_gap_factor: float = 2.5
+    # A loop candidate must be near in SPACE but far along the PATH:
+    # path separation > min_path_gap_factor * radius. Without this, any slow or
+    # oscillating trajectory proposes "loops" between frames a few metres apart;
+    # those short-range edges are redundant noisy odometry, and at loop_weight 20x
+    # they override the smoother chained estimate (measured: a 400-frame
+    # non-revisiting run went from 2.87 to 5.68 deg/100m when 24 pseudo-loops were
+    # admitted). A true place revisit has position distance << path distance.
     max_candidates: int = 24     # fixed verification budget (pairs padded up to this)
     min_inliers: int = 30        # PnP inlier gate for accepting a loop edge
     matcher_ratio: float = 0.9
@@ -98,12 +106,17 @@ def detect_loop_closures(kf_ids, poses, kp, desc, valid, kp3d, K,
         missing = kf_ids[rows < 0]
         raise ValueError(f"no retained features for keyframes {missing[:8]}...")
 
-    # Candidate proposal: pairwise keyframe distances (vectorized), gap + radius gates.
+    # Candidate proposal: near in space (radius), far along the path (revisit
+    # signature), and non-adjacent in keyframe index.
     pos = poses[kf_ids][:, :3, 3]
     n = len(kf_ids)
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    steps = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=-1)
+    s = np.concatenate([[0.0], np.cumsum(steps)])       # path length per frame
+    path_sep = np.abs(s[kf_ids][:, None] - s[kf_ids][None, :])
     a_idx, b_idx = np.nonzero((np.triu(np.ones((n, n), bool), cfg.min_gap)) &
-                              (d < cfg.radius))
+                              (d < cfg.radius) &
+                              (path_sep > cfg.min_path_gap_factor * cfg.radius))
     if len(a_idx) == 0:
         return []
     order = np.argsort(d[a_idx, b_idx])[: cfg.max_candidates]
