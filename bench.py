@@ -14,9 +14,12 @@ Reported timings:
   - value / fps_compute: device pipeline fps, frames pre-staged in HBM (one warm-up
     compile excluded);
   - per-stage extract/engine ms per frame;
-  - fps_io_included: the streaming runner reading png+npy pairs from disk through the
-    double-buffered loader (native C++ decode pool, auto-built) — the honest
-    end-to-end number;
+  - fps_io_included: the streaming runner reading png+npy pairs from disk through
+    the double-buffered loader (native C++ decode pool, auto-built, gray/u16-mm
+    emission) with the sparse depth transfer — the honest end-to-end number,
+    reported as the MEDIAN of three timed passes with the per-pass list, the
+    decode-only ceiling, and a forced link-bandwidth probe alongside (the r03
+    best-of-1 protocol recorded a 3.5x-off outlier on the noisy dev tunnel);
   - an R2D2 (learned CNN extractor) trajectory line: extraction+engine fps AND its
     own evaluator-gated seg errors (the reference's flagship path, R2D2.py:202-236);
   - classic multiscale (4-octave oriented gradhist) extraction ms/frame.
@@ -80,8 +83,11 @@ def _sequence_dir(imgs, deps) -> str:
 
     The synthetic frames are grayscale; storing them as single-channel PNGs (a format
     the reference's cv2.imread path reads identically) is 3x fewer bytes through the
-    zlib inflate — the decode-side bottleneck on a small host."""
-    d = f"/tmp/vo_tpu_bench_dir_{WORKLOAD}_gray_{F}x{H}x{W}"
+    zlib inflate. Depth is stored as uint16-millimetre npy (``<u2`` — still a plain
+    npy the loaders read; half the f32 bytes and a zlib-free memcpy decode) — rounded,
+    so each sample is within 0.5 mm of the f32 source, lossless for the engine's
+    50 m depth gate."""
+    d = f"/tmp/vo_tpu_bench_dir_{WORKLOAD}_grayu16_{F}x{H}x{W}"
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
         from PIL import Image
@@ -90,9 +96,45 @@ def _sequence_dir(imgs, deps) -> str:
         for i in range(F):
             g = np.clip(imgs[i], 0, 255).astype(np.uint8)
             Image.fromarray(g, mode="L").save(os.path.join(d, f"{i:06d}.png"))
-            np.save(os.path.join(d, f"{i:06d}_depth.npy"), deps[i])
+            dmm = np.round(np.clip(deps[i], 0.0, 65.535) * 1000.0).astype(np.uint16)
+            np.save(os.path.join(d, f"{i:06d}_depth.npy"), dmm)
         open(marker, "w").close()
     return d
+
+
+def _probe_link_mbps() -> float:
+    """REAL host->device bandwidth: an 8 MB device_put forced by a fetched reduction.
+
+    ``block_until_ready`` can return before the copy lands on the tunnel backend —
+    a probe built on it once reported 2.5 GB/s on a ~35 MB/s link; only reading back
+    a value computed FROM the transferred bytes proves arrival."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(0, 255, (8, 1024, 1024), dtype=np.uint8)
+    np.asarray(jnp.sum(jax.device_put(x)[..., -1]))  # warm-up
+    t0 = time.perf_counter()
+    np.asarray(jnp.sum(jax.device_put(x)[..., -1]))
+    return 8.0 / (time.perf_counter() - t0)
+
+
+def _decode_ceiling_fps(seq_dir: str) -> float:
+    """Host decode throughput with zero device work: full drain of the native loader
+    in the formats the IO run uses (gray u8 + u16 mm). This is the hard upper bound
+    on fps_io_included from the host side; when the recorded IO fps is far below it,
+    the gap is the device link or dispatch, not decode."""
+    from vo_tpu.io.native import NativeRGBDSequence
+
+    nat = NativeRGBDSequence.try_open(seq_dir)
+    if nat is None:
+        return float("nan")
+    t0 = time.perf_counter()
+    n = 0
+    for _, b_imgs, _ in nat.iter_batches(EXTRACT_BATCH, gray=True, depth="u16mm"):
+        n += b_imgs.shape[0]
+    dt = time.perf_counter() - t0
+    nat.close()
+    return n / dt
 
 
 def _check_pallas_parity(desc, valid) -> bool:
@@ -199,6 +241,13 @@ def main() -> None:
     res, accept, err_final, sane = _score(gt, poses, diag)
 
     # IO-included: stream the on-disk sequence through the real loader stack.
+    # Minimal-byte wire format end to end: gray PNGs + u16-mm npy on disk, native
+    # decode straight into gray/u16 batch buffers, and the SPARSE depth transfer
+    # (images up, int16 keypoints back, depth only at keypoint pixels up) — on a
+    # bandwidth-starved link the full-depth upload alone was ~4x the budget.
+    # Protocol (the r03 fps_io_included=4.76 was a best-of-1 outlier on a noisy
+    # tunnel): one warm-up, THREE timed passes, report median + best + spread, plus
+    # the decode-only ceiling and a forced link probe so outliers self-diagnose.
     seq_dir = _sequence_dir(imgs, deps)
     from vo_tpu.io.dataset import RGBDSequence
     from vo_tpu.io.native import NativeRGBDSequence
@@ -206,7 +255,7 @@ def main() -> None:
     def io_run():
         nat = NativeRGBDSequence.try_open(seq_dir)
         if nat is not None:
-            batches = nat.iter_batches(EXTRACT_BATCH)
+            batches = nat.iter_batches(EXTRACT_BATCH, gray=True, depth="u16mm")
             loader = "native"
         else:
             batches = RGBDSequence.from_dir(seq_dir).iter_batches(EXTRACT_BATCH)
@@ -214,15 +263,21 @@ def main() -> None:
         t0 = time.perf_counter()
         p, dg, _ = run_offline_vo_streaming(batches, F, K, vo_config=vo_cfg,
                                             extractor=extractor,
-                                            transfer_depth="uint16mm")
+                                            transfer_depth="sparse")
         dt = time.perf_counter() - t0
         if nat is not None:
             nat.close()
         return F / dt, loader, p, dg
 
-    io_run()                      # warm-up (rgb-input extraction compiles here)
-    fps_io, loader, io_poses, io_diag = io_run()
-    # The IO path rides the mm-quantized depth transfer — gate its trajectory too.
+    io_run()                      # warm-up (gray-input extraction compiles here)
+    io_fps_passes = []
+    for _ in range(3):
+        fps_pass, loader, io_poses, io_diag = io_run()
+        io_fps_passes.append(fps_pass)
+    fps_io = float(np.median(io_fps_passes))
+    decode_fps = _decode_ceiling_fps(seq_dir)
+    link_mbps = _probe_link_mbps()
+    # The IO path rides the mm-quantized sparse depth transfer — gate its trajectory.
     _, _, _, io_sane = _score(gt, io_poses, io_diag)
 
     # R2D2 (learned CNN) trajectory: the reference's flagship extractor driving the
@@ -291,6 +346,11 @@ def main() -> None:
         "extract_ms_per_frame": round(min(t_ex) / F * 1000, 3),
         "engine_ms_per_frame": round(min(t_en) / F * 1000, 3),
         "fps_io_included": round(fps_io, 2),
+        "fps_io_passes": [round(f, 2) for f in io_fps_passes],
+        "fps_io_best": round(max(io_fps_passes), 2),
+        "io_decode_ceiling_fps": round(decode_fps, 1),
+        "io_link_h2d_mbps": round(link_mbps, 1),
+        "io_nproc": os.cpu_count(),
         "io_loader": loader,
         "io_trajectory_sane": io_sane,
         "r2d2_pipeline_fps": round(r2d2_fps, 2) if r2d2_fps else None,

@@ -154,6 +154,35 @@ class TestStreamingPipeline:
         np.testing.assert_allclose(poses_mm[:, :3, :3], poses_f32[:, :3, :3],
                                    atol=5e-3)
 
+    def test_sparse_depth_transfer_matches_uint16mm(self):
+        """transfer_depth="sparse" (host-side keypoint depth gather, ~230x fewer
+        depth bytes over the link) must reproduce the uint16mm trajectory: the
+        gather is the same truncate-clip-int lookup as depth_to_3d_at and the mm
+        quantization is identical."""
+        F = 10
+        imgs, deps, _ = render_sequence(F, K, H=240, W=320, step=0.8)
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+
+        def batches(depth_u16=False, B=4):
+            for s in range(0, F, B):
+                idx = np.arange(s, min(s + B, F))
+                idx = np.concatenate([idx, np.full(B - len(idx), F - 1)])
+                d = deps[idx]
+                if depth_u16:  # loaders may hand sparse mode raw u16-mm maps
+                    d = np.round(np.clip(d, 0, 65.535) * 1000).astype(np.uint16)
+                yield s, imgs[idx], d
+
+        poses_mm, _, _ = run_offline_vo_streaming(
+            batches(), F, K, vo_config=cfg, extractor=ex,
+            transfer_depth="uint16mm")
+        for depth_u16 in (False, True):
+            poses_sp, _, _ = run_offline_vo_streaming(
+                batches(depth_u16), F, K, vo_config=cfg, extractor=ex,
+                transfer_depth="sparse")
+            np.testing.assert_allclose(poses_sp, poses_mm, atol=1e-5)
+
     def test_decode_error_propagates(self):
         def bad_batches():
             raise RuntimeError("decode exploded")

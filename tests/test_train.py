@@ -139,3 +139,40 @@ class TestTrainStep:
         a = jax.tree.leaves(state.params)[0]
         b = jax.tree.leaves(restored.params)[0]
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestLoaderErrorPropagation:
+    def test_dead_producer_raises_in_main_loop(self, tmp_path, monkeypatch):
+        """A pair-loader crash mid-train must raise in the consumer, not deadlock it
+        at q.get forever (the producer follows the same catch-and-reraise contract
+        as the streaming runner's decode thread)."""
+        from types import SimpleNamespace
+
+        from PIL import Image
+
+        from vo_tpu.runners.train_r2d2 import real_image_batches
+        from vo_tpu.train import datasets as ds
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (128, 128), np.uint8)).save(
+                img_dir / f"{i}.png")
+
+        calls = {"n": 0}
+        orig = ds.RandomWindowPairLoader.batch
+
+        def dying_batch(self, b):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise OSError("disk vanished")
+            return orig(self, b)
+
+        monkeypatch.setattr(ds.RandomWindowPairLoader, "batch", dying_batch)
+        args = SimpleNamespace(data_dir=str(img_dir), flow_pairs=None)
+        cfg = TrainConfig(batch=2, height=96, width=96)
+        with pytest.raises(RuntimeError, match="loader died") as ei:
+            for _ in real_image_batches(args, cfg, steps=10, prefetch=2):
+                pass
+        assert isinstance(ei.value.__cause__, OSError)

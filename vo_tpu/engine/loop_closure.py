@@ -35,13 +35,18 @@ class LoopClosureConfig:
     min_gap: int = 8             # min keyframe-index separation for a loop candidate
     radius: float = 10.0         # candidate search radius around the current estimate (m)
     min_path_gap_factor: float = 2.5
+    min_path_sep: float = 10.0
     # A loop candidate must be near in SPACE but far along the PATH:
-    # path separation > min_path_gap_factor * radius. Without this, any slow or
-    # oscillating trajectory proposes "loops" between frames a few metres apart;
-    # those short-range edges are redundant noisy odometry, and at loop_weight 20x
-    # they override the smoother chained estimate (measured: a 400-frame
-    # non-revisiting run went from 2.87 to 5.68 deg/100m when 24 pseudo-loops were
-    # admitted). A true place revisit has position distance << path distance.
+    # path separation > max(min_path_gap_factor * pair distance, min_path_sep).
+    # Without this, any slow or oscillating trajectory proposes "loops" between
+    # frames a few metres apart; those short-range edges are redundant noisy
+    # odometry, and at loop_weight 20x they override the smoother chained estimate
+    # (measured: a 400-frame non-revisiting run went from 2.87 to 5.68 deg/100m when
+    # 24 pseudo-loops were admitted). A true place revisit has position distance <<
+    # path distance. The factor applies to the PAIR's actual distance (not radius,
+    # ADVICE r03 #2) so widening the search radius doesn't silently raise the
+    # revisit bar; min_path_sep is the absolute floor that kills micro-oscillation
+    # pairs whose distance (hence scaled gate) is near zero.
     max_candidates: int = 24     # fixed verification budget (pairs padded up to this)
     min_inliers: int = 30        # PnP inlier gate for accepting a loop edge
     matcher_ratio: float = 0.9
@@ -116,7 +121,8 @@ def detect_loop_closures(kf_ids, poses, kp, desc, valid, kp3d, K,
     path_sep = np.abs(s[kf_ids][:, None] - s[kf_ids][None, :])
     a_idx, b_idx = np.nonzero((np.triu(np.ones((n, n), bool), cfg.min_gap)) &
                               (d < cfg.radius) &
-                              (path_sep > cfg.min_path_gap_factor * cfg.radius))
+                              (path_sep > np.maximum(cfg.min_path_gap_factor * d,
+                                                     cfg.min_path_sep)))
     if len(a_idx) == 0:
         return []
     order = np.argsort(d[a_idx, b_idx])[: cfg.max_candidates]

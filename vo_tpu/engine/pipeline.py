@@ -16,7 +16,7 @@ import numpy as np
 
 from vo_tpu.engine.vo import VOConfig, VOEngine
 from vo_tpu.features.extractor import OrbLikeExtractor, Features
-from vo_tpu.geometry.camera import depth_to_3d_at
+from vo_tpu.geometry.camera import depth_to_3d_at, unproject
 
 
 @partial(jax.jit, static_argnames=("extractor",))
@@ -39,6 +39,52 @@ def extract_and_backproject(
     feats: Features = extractor(images)
     kp3d = jax.vmap(lambda d, kp: depth_to_3d_at(d, kp, K))(depths, feats.kp)
     return feats, kp3d
+
+
+@partial(jax.jit, static_argnames=("extractor",))
+def extract_and_kp_int16(extractor, images: jnp.ndarray):
+    """Batched features + clipped integer pixel coords for host-side depth gather.
+
+    The sparse-depth streaming mode ships depth host->device only at keypoint pixels
+    (8 KB/frame instead of a ~1 MB depth map), so the host must gather depth at
+    exactly the pixels ``depth_to_3d_at`` would touch: truncate-to-int then clip
+    (geometry/camera.py:95-98, matching the reference's ``.astype(np.int32)`` gather,
+    VisualOdometry_Stereo.py:96-97). int16 halves the device->host readback; image
+    dims are far below 2^15.
+    """
+    feats: Features = extractor(images)
+    H, W = images.shape[1], images.shape[2]
+    xi = jnp.clip(feats.kp[..., 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(feats.kp[..., 1].astype(jnp.int32), 0, H - 1)
+    return feats, jnp.stack([xi, yi], axis=-1).astype(jnp.int16)
+
+
+@jax.jit
+def backproject_sparse(kp: jnp.ndarray, z_u16mm: jnp.ndarray, K: jnp.ndarray):
+    """(B, N, 2) float kp + (B, N) uint16 millimetre depth -> (B, N, 3) camera points.
+
+    Device-side tail of the sparse-depth transfer: dequantize mm -> metres and
+    unproject with the ORIGINAL float keypoint coordinates (same contract as
+    ``depth_to_3d_at``). Zero depth yields z == 0, rejected by the engine's depth gate.
+    """
+    z = z_u16mm.astype(jnp.float32) * 1e-3
+    return unproject(kp.astype(jnp.float32), z, K)
+
+
+def gather_depth_u16mm(deps: np.ndarray, kp_i16: np.ndarray) -> np.ndarray:
+    """Host-side sparse depth gather -> (B, N) uint16 millimetres.
+
+    ``deps`` is the decoded per-chunk depth stack: float32 metres, or uint16
+    millimetres straight from a ``<u2`` npy (then the gather is copy-free of any
+    conversion). Rounds (not truncates) the mm quantization and zeroes NaNs so the
+    quantized value is within 0.5 mm of the source (ADVICE r03 #1).
+    """
+    b = np.arange(deps.shape[0])[:, None]
+    z = deps[b, kp_i16[..., 1].astype(np.int32), kp_i16[..., 0].astype(np.int32)]
+    if z.dtype == np.uint16:
+        return z
+    z = np.nan_to_num(np.asarray(z, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
+    return np.round(np.clip(z, 0.0, 65.535) * 1000.0).astype(np.uint16)
 
 
 def run_offline_vo(
@@ -120,13 +166,17 @@ def load_vo_checkpoint(path: str):
         return int(blob["next_frame"]), blob["poses"], VOState(*fields)
 
 
-@jax.jit
 def _pack_chunk_results(poses, diag):
     """Flatten a chunk's (poses, VOStepDiagnostics) into ONE (B, 21) f32 array.
 
     The streaming runner reads results back once per chunk; fetching the tree
     leaf-by-leaf costs one link round-trip per leaf (6x the latency on a remote
-    device). All fields are exactly representable in f32 (counts < 2^24, flags 0/1)."""
+    device). All fields are exactly representable in f32 (counts < 2^24, flags 0/1).
+
+    Deliberately NOT jitted: the first chunk has B-1 rows (frame 0 seeds the state)
+    and full chunks have B, so a jitted pack would compile once per distinct length
+    (ADVICE r03 #3); as a handful of async reshape/concat dispatches it costs ~1 ms
+    per chunk and compiles nothing."""
     B = poses.shape[0]
     cols = [poses.reshape(B, 16)] + [d.astype(jnp.float32).reshape(B, 1) for d in diag]
     return jnp.concatenate(cols, axis=1)
@@ -191,6 +241,17 @@ def run_offline_vo_streaming(
     loss-free for any depth gate <= 65 m (the engine's is 50 m). Keep "float32" when
     valid depths beyond 65 m matter.
 
+    ``transfer_depth="sparse"`` never ships the depth map at all: images go up, the
+    extractor's clipped integer keypoint pixels come back (int16, ~8 KB/frame), the
+    host gathers depth at exactly those pixels from the decoded map it already holds,
+    and only (B, max_kp) uint16-mm values go up (~4 KB/frame) —
+    ``backproject_sparse`` unprojects on device. Semantically identical to
+    "uint16mm" (same truncate-clip-gather as ``depth_to_3d_at``, same mm
+    quantization) but ~230x fewer depth bytes over the host->device link; on a
+    bandwidth-starved link (the dev tunnel moves ~35 MB/s) this is the difference
+    between transfer-bound and decode-bound streaming. The loaders may yield depth
+    as float32 metres or raw uint16 millimetres (``<u2`` npy) in this mode.
+
     Host->device staging happens on the producer thread and the per-chunk
     device->host sync (poses + diagnostics) is deferred one chunk, so decode, PCIe/
     link transfer, device compute, and result readback all overlap (a high-latency
@@ -201,8 +262,8 @@ def run_offline_vo_streaming(
 
     if retain not in ("all", "sparse"):
         raise ValueError(f"retain must be 'all' or 'sparse', got {retain!r}")
-    if transfer_depth not in ("float32", "uint16mm"):
-        raise ValueError(f"transfer_depth must be 'float32' or 'uint16mm', "
+    if transfer_depth not in ("float32", "uint16mm", "sparse"):
+        raise ValueError(f"transfer_depth must be 'float32', 'uint16mm' or 'sparse', "
                          f"got {transfer_depth!r}")
     if extractor is None:
         extractor = OrbLikeExtractor()
@@ -214,12 +275,19 @@ def run_offline_vo_streaming(
 
     def producer():
         """Decode-side thread: also stages each batch into device memory so the
-        host->device copy overlaps the consumer's compute and readback."""
+        host->device copy overlaps the consumer's compute and readback. In sparse
+        mode the depth map never leaves the host — it rides the queue as a numpy
+        array for the consumer's keypoint gather."""
         try:
             for start, imgs, deps in batches:
+                if transfer_depth == "sparse":
+                    q.put((start, jax.device_put(imgs), np.asarray(deps)))
+                    continue
                 if transfer_depth == "uint16mm":
-                    deps = (np.clip(np.asarray(deps, np.float32), 0.0, 65.535)
-                            * 1000.0).astype(np.uint16)
+                    deps = np.nan_to_num(np.asarray(deps, np.float32), nan=0.0,
+                                         posinf=0.0, neginf=0.0)
+                    deps = np.round(np.clip(deps, 0.0, 65.535)
+                                    * 1000.0).astype(np.uint16)
                 else:
                     deps = np.asarray(deps, np.float32)
                 q.put((start, jax.device_put(imgs), jax.device_put(deps)))
@@ -260,13 +328,18 @@ def run_offline_vo_streaming(
     # as ONE packed array per chunk (a tree readback costs one round-trip per leaf).
     pending = None   # (start, B, lo, n_real, end, feats, kp3d, packed_dev, state_after)
 
-    def flush():
+    def flush(packed_np=None):
+        """Consume the pending chunk's results. ``packed_np`` carries the packed
+        array when the caller already fetched it (sparse mode piggybacks it on the
+        next chunk's keypoint readback — one link round trip instead of two)."""
         nonlocal pending, since_ckpt
         if pending is None:
             return
         start, B, lo, n_real, end, feats, kp3d, packed_dev, st = pending
         pending = None
-        poses_np, diag_np = _unpack_chunk_results(np.asarray(packed_dev))
+        if packed_np is None:
+            packed_np = np.asarray(packed_dev)
+        poses_np, diag_np = _unpack_chunk_results(packed_np)
         poses_list.append(poses_np[:n_real])
         diag_chunks.append(jax.tree.map(lambda a: a[:n_real], diag_np))
         promoted = np.zeros(B, bool)
@@ -283,7 +356,22 @@ def run_offline_vo_streaming(
         if item is None:
             break
         start, imgs_d, deps_d = item
-        feats, kp3d = extract_and_backproject(extractor, imgs_d, deps_d, Kj)
+        if transfer_depth == "sparse":
+            # Blocking on the int16 kp readback syncs THIS chunk's extraction while
+            # the previous chunk's engine step (dispatched last iteration) is already
+            # queued behind it — the round-trip hides under that compute. The
+            # previous chunk's packed results ride the same device_get, so the loop
+            # pays ONE device->host sync per chunk, not two.
+            feats, kp_i16 = extract_and_kp_int16(extractor, imgs_d)
+            if pending is not None:
+                kp_np, packed_np = jax.device_get((kp_i16, pending[7]))
+                flush(packed_np)
+            else:
+                kp_np = jax.device_get(kp_i16)
+            z16 = gather_depth_u16mm(deps_d, kp_np)
+            kp3d = backproject_sparse(feats.kp, jax.device_put(z16), Kj)
+        else:
+            feats, kp3d = extract_and_backproject(extractor, imgs_d, deps_d, Kj)
 
         B = feats.kp.shape[0]
         end = min(start + B, n_frames)

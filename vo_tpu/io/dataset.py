@@ -23,7 +23,12 @@ def _read_png_rgb(path: str) -> np.ndarray:
 
 
 def load_rgbd_pair(png_path: str, depth_path: str) -> tuple[np.ndarray, np.ndarray]:
-    return _read_png_rgb(png_path), np.load(depth_path).astype(np.float32)
+    d = np.load(depth_path)
+    if d.dtype == np.uint16:  # millimetre-quantized depth (half the disk bytes)
+        d = d.astype(np.float32) * 1e-3
+    else:
+        d = d.astype(np.float32)
+    return _read_png_rgb(png_path), d
 
 
 @dataclass

@@ -61,6 +61,9 @@ def _load_lib():
             lib.vol_meta.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int)] * 3
             lib.vol_next.restype = ctypes.c_int
             lib.vol_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.vol_next2.restype = ctypes.c_int
+            lib.vol_next2.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p, ctypes.c_void_p]
             lib.vol_close.restype = None
             lib.vol_close.argtypes = [ctypes.c_void_p]
             _lib = lib
@@ -129,22 +132,54 @@ class NativeRGBDSequence:
                 return
             yield fr
 
-    def iter_batches(self, batch: int, limit: int = 0):
-        """Yield (start, rgb (B, H, W, 3) uint8, depth (B, H, W) f32) fixed-size
+    def iter_batches(self, batch: int, limit: int = 0, gray: bool = False,
+                     depth: str = "f32"):
+        """Yield (start, imgs (B, H, W[, 3]) uint8, depth (B, H, W)) fixed-size
         batches; the tail is padded by repeating the final frame (same contract as
         RGBDSequence.iter_batches) so jitted extraction sees one static shape. The C++
-        prefetch pool keeps decoding ahead while the caller computes."""
+        prefetch pool keeps decoding ahead while the caller computes.
+
+        ``gray=True`` emits single-channel uint8 (3x fewer image bytes, BT.601 luma
+        for colour sources) and ``depth="u16mm"`` emits rounded uint16 millimetres
+        (half of f32) — the minimal-byte formats for a bandwidth-bound consumer
+        (e.g. the sparse-depth streaming runner on a thin device link). The C++ side
+        writes straight into the batch buffers: no per-frame Python arrays, no
+        np.stack copies."""
+        if depth not in ("f32", "u16mm"):
+            raise ValueError(f"depth must be 'f32' or 'u16mm', got {depth!r}")
+        if self._emitted >= self.n_frames:
+            return
         n = self.n_frames if not limit else min(limit, self.n_frames)
+        img_fmt = 1 if gray else 0
+        depth_fmt = 1 if depth == "u16mm" else 0
+        ishape = (batch, self.H, self.W) if gray else (batch, self.H, self.W, 3)
         start = 0
         while start < n:
-            frames = [self.next_frame() for _ in range(min(batch, n - start))]
-            frames = [f for f in frames if f is not None]
-            if not frames:
+            imgs = np.empty(ishape, np.uint8)
+            deps = np.empty((batch, self.H, self.W),
+                            np.uint16 if depth_fmt else np.float32)
+            want = min(batch, n - start)
+            got = 0
+            for i in range(want):
+                if self._emitted >= self.n_frames:
+                    break
+                rc = self._lib.vol_next2(
+                    self._h, img_fmt, depth_fmt,
+                    imgs[i].ctypes.data_as(ctypes.c_void_p),
+                    deps[i].ctypes.data_as(ctypes.c_void_p))
+                if rc == -2:
+                    break
+                if rc != 0:
+                    raise RuntimeError(f"native loader: decode failure rc={rc} "
+                                       f"at frame {self._emitted}")
+                self._emitted += 1
+                got += 1
+            if got == 0:
                 return
-            while len(frames) < batch:
-                frames.append(frames[-1])
-            yield (start, np.stack([f[0] for f in frames]),
-                   np.stack([f[1] for f in frames]))
+            for i in range(got, batch):  # pad tail by repeating the final frame
+                imgs[i] = imgs[got - 1]
+                deps[i] = deps[got - 1]
+            yield start, imgs, deps
             start += batch
 
     def close(self):

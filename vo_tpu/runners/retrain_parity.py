@@ -133,13 +133,27 @@ def main(argv=None) -> int:
             WindowLoaderConfig(crop=args.crop, seed=cfg.seed))
 
         bq: "queue.Queue" = queue.Queue(maxsize=4)
+        perr: list = []
 
         def producer():
-            for _ in range(args.steps):
-                bq.put(loader.batch(cfg.batch))
+            """Same catch-and-reraise contract as the streaming runner
+            (engine/pipeline.py producer): a loader crash surfaces in the train
+            loop instead of deadlocking the main thread at bq.get forever."""
+            try:
+                for _ in range(args.steps):
+                    bq.put(loader.batch(cfg.batch))
+            except BaseException as e:
+                perr.append(e)
+                bq.put(None)  # sentinel wakes a blocked consumer
 
         threading.Thread(target=producer, daemon=True).start()
-        get_batch = bq.get
+
+        def get_batch():
+            item = bq.get()
+            if item is None:
+                raise RuntimeError("training pair loader died") from (
+                    perr[0] if perr else None)
+            return item
     else:
         from vo_tpu.train.pairs import synthetic_pair_batch
 
@@ -166,8 +180,10 @@ def main(argv=None) -> int:
                   f"| {rate:.1f} img/s")
             _write(report, args.out, t0)   # incremental: a killed run still reports
 
+    _write(report, args.out, t0)   # unconditional: --steps 0 still writes a report
+    trained = report.get("mma3_trained")
     print(f"[parity] wrote {args.out}: init {report['mma3_init']:.3f} -> "
-          f"trained {report['mma3_trained']:.3f} "
+          f"trained {trained if trained is None else f'{trained:.3f}'} "
           f"(ported {report.get('mma3_ported')})")
     return 0
 

@@ -55,15 +55,25 @@ def real_image_batches(args, cfg, steps: int, prefetch: int = 4):
           f"{len(loader)} pairs, crop {cfg.height}")
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    perr: list = []
 
     def producer():
-        for _ in range(steps):
-            q.put(loader.batch(cfg.batch))
-        q.put(None)
+        """Catch-and-reraise contract (same as engine/pipeline.py's producer): a
+        loader crash ends the stream with the error on record instead of
+        deadlocking the train loop at q.get."""
+        try:
+            for _ in range(steps):
+                q.put(loader.batch(cfg.batch))
+        except BaseException as e:
+            perr.append(e)
+        finally:
+            q.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
     while (b := q.get()) is not None:
         yield b
+    if perr:
+        raise RuntimeError("training pair loader died") from perr[0]
 
 
 def main(argv=None) -> int:
