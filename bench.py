@@ -269,6 +269,7 @@ def main() -> None:
             nat.close()
         return F / dt, loader, p, dg
 
+    link_mbps_before = _probe_link_mbps()
     io_run()                      # warm-up (gray-input extraction compiles here)
     io_fps_passes = []
     for _ in range(3):
@@ -277,6 +278,11 @@ def main() -> None:
     fps_io = float(np.median(io_fps_passes))
     decode_fps = _decode_ceiling_fps(seq_dir)
     link_mbps = _probe_link_mbps()
+    # The dev tunnel's bandwidth swings 50x over minutes (measured 0.6-40 MB/s in
+    # one session); bracketing probes + the wire-format byte count turn a bad-window
+    # fps into a self-diagnosing record instead of a mystery outlier (r03's 4.76).
+    io_bytes_per_frame = H * W + 2 * extractor.max_kp * 2 + 21 * 4
+    link_limit_fps = min(link_mbps_before, link_mbps) * 1e6 / io_bytes_per_frame
     # The IO path rides the mm-quantized sparse depth transfer — gate its trajectory.
     _, _, _, io_sane = _score(gt, io_poses, io_diag)
 
@@ -317,20 +323,47 @@ def main() -> None:
     except Exception as e:
         print(f"WARNING: r2d2 trajectory bench failed: {e!r}", file=sys.stderr)
 
-    # Classic multiscale (4-octave, oriented gradhist) extraction cost on record.
+    # Classic multiscale SIFT-config (DoG detector + 4-octave oriented gradhist):
+    # extraction cost AND a full scored trajectory, the same gate as ORB/R2D2 (the
+    # r03 bench only timed this path; its accuracy on the workload was unknown).
+    ms_ms = sift_fps = sift_res = sift_sane = sift_accept = None
     try:
         from vo_tpu.features.pyramid import MultiScaleClassicExtractor
 
-        ms = MultiScaleClassicExtractor(max_kp=2048, n_scales=4,
+        ms = MultiScaleClassicExtractor(max_kp=2048, n_scales=4, response="dog",
                                         descriptor="gradhist", oriented=True)
-        np.asarray(ms(imgs_d[:8]).valid.sum())                  # compile
+        sift_cfg = VOConfig(matcher="ratio_float", ratio=0.85,
+                            pnp=PnPConfig(n_hypotheses=512),
+                            use_pallas_match=pallas_ok)
+        sift_engine = VOEngine(sift_cfg)
+        MB = 8
+
+        def sift_extract_all():
+            fc, kc = [], []
+            for s in range(0, F, MB):
+                f, k3 = extract_and_backproject(ms, imgs_d[s:s + MB],
+                                                deps_d[s:s + MB], Kj)
+                fc.append(f)
+                kc.append(k3)
+            return (jnp.concatenate([f.kp for f in fc]),
+                    jnp.concatenate([f.desc for f in fc]),
+                    jnp.concatenate([f.valid for f in fc]),
+                    jnp.concatenate(kc))
+
+        skp, sdesc, svalid, skp3d = sift_extract_all()          # compile
+        sp, sdiag = sift_engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
+        np.asarray(sp)
         t0 = time.perf_counter()
-        for s in range(0, 32, 8):
-            np.asarray(ms(imgs_d[s:s + 8]).valid.sum())
-        ms_ms = (time.perf_counter() - t0) / 32 * 1000
+        skp, sdesc, svalid, skp3d = sift_extract_all()
+        force(skp, sdesc, skp3d)
+        t_ex_ms = time.perf_counter() - t0
+        sp, sdiag = sift_engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
+        sift_poses = np.asarray(sp)
+        sift_fps = F / (time.perf_counter() - t0)
+        ms_ms = t_ex_ms / F * 1000
+        sift_res, sift_accept, _, sift_sane = _score(gt, sift_poses, sdiag)
     except Exception as e:
-        print(f"WARNING: multiscale bench failed: {e!r}", file=sys.stderr)
-        ms_ms = None
+        print(f"WARNING: multiscale SIFT-config bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "vo_frames_per_sec_1chip",
@@ -349,7 +382,9 @@ def main() -> None:
         "fps_io_passes": [round(f, 2) for f in io_fps_passes],
         "fps_io_best": round(max(io_fps_passes), 2),
         "io_decode_ceiling_fps": round(decode_fps, 1),
-        "io_link_h2d_mbps": round(link_mbps, 1),
+        "io_link_h2d_mbps": [round(link_mbps_before, 1), round(link_mbps, 1)],
+        "io_wire_bytes_per_frame": io_bytes_per_frame,
+        "io_link_limit_fps": round(link_limit_fps, 1),
         "io_nproc": os.cpu_count(),
         "io_loader": loader,
         "io_trajectory_sane": io_sane,
@@ -361,6 +396,13 @@ def main() -> None:
                                       if r2d2_res else None),
         "r2d2_accept_rate": round(r2d2_accept, 3) if r2d2_accept else None,
         "multiscale_extract_ms_per_frame": round(ms_ms, 3) if ms_ms else None,
+        "sift_pipeline_fps": round(sift_fps, 2) if sift_fps else None,
+        "sift_trajectory_sane": sift_sane,
+        "sift_seg_trans_err_pct": (round(float(sift_res.seg_trans_err_pct), 3)
+                                   if sift_res else None),
+        "sift_seg_rot_err_deg_100m": (round(float(sift_res.seg_rot_err_deg_per_100m), 3)
+                                      if sift_res else None),
+        "sift_accept_rate": round(sift_accept, 3) if sift_accept else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -2,7 +2,7 @@
 
 On TPU, default-precision f32 matmuls run as bf16 MXU passes. Measured on the bench
 workload that turns a 0.12 % segment-translation trajectory into a 3.65 % one — so
-every geometry-solver entry point must pin 'highest' itself, and the Pallas match
+every geometry-solver entry point must pin bf16x3 ("high") itself — measured f32-equivalent trajectory accuracy at ~half the 6-pass cost (ops/precision.py table), and the Pallas match
 kernel must pin DEFAULT (Mosaic rejects an fp32 contract on bf16 operands, which a
 caller-scoped 'highest' would otherwise request). These tests lock both properties
 in at the trace level; the numeric effect is TPU-only.
@@ -16,7 +16,7 @@ from vo_tpu.ops.precision import geometry_precision
 
 
 class TestGeometryPrecision:
-    def test_decorator_sets_highest_inside(self):
+    def test_decorator_sets_high_inside(self):
         captured = {}
 
         @geometry_precision
@@ -25,7 +25,7 @@ class TestGeometryPrecision:
             return x @ x
 
         probe(jnp.eye(3))
-        assert captured["prec"] == "highest"
+        assert captured["prec"] == "high"  # bf16x3: f32-grade solves at ~half of 6-pass cost
 
     def test_solver_entries_are_wrapped(self):
         """The numerically-sensitive public entry points carry the wrapper (guards

@@ -119,10 +119,37 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return ((1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11))
 
 
+def _resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) dense triangle-kernel interpolation matrix — the same
+    half-pixel-center, antialiased-on-downscale semantics as jax.image.resize's
+    'bilinear' (kernel width grows with the downscale factor so octaves are
+    low-passed, which is exactly what a pyramid wants)."""
+    scale = n_in / n_out
+    width = max(scale, 1.0)                      # antialias when downscaling
+    centers = (jnp.arange(n_out) + 0.5) * scale - 0.5
+    src = jnp.arange(n_in)
+    d = jnp.abs(src[None, :] - centers[:, None]) / width
+    m = jnp.clip(1.0 - d, 0.0, None)
+    return m / jnp.sum(m, axis=1, keepdims=True)
+
+
 def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize of (B, H, W) or (B, H, W, C) via jax.image (XLA-fused)."""
+    """Bilinear resize of (B, H, W) or (B, H, W, C) as two dense matmuls.
+
+    ``jax.image.resize`` lowers to gather chains that cost ~4.6 ms/frame at KITTI
+    resolution on v5e; the same separable interpolation as (H'xH) @ img @ (WxW')
+    dense matmuls is MXU food (the matrices are static and tiny next to the image)."""
+    Ho, Wo = out_hw
     if img.ndim == 3:
         B, H, W = img.shape
-        return jax.image.resize(img, (B, *out_hw), method="bilinear")
+        if (H, W) == (Ho, Wo):
+            return img
+        mh = _resize_matrix(H, Ho).astype(img.dtype)
+        mw = _resize_matrix(W, Wo).astype(img.dtype)
+        return jnp.einsum("oh,bhw,wp->bop", mh, img, mw.T)
     B, H, W, C = img.shape
-    return jax.image.resize(img, (B, *out_hw, C), method="bilinear")
+    if (H, W) == (Ho, Wo):
+        return img
+    mh = _resize_matrix(H, Ho).astype(img.dtype)
+    mw = _resize_matrix(W, Wo).astype(img.dtype)
+    return jnp.einsum("oh,bhwc,wp->bopc", mh, img, mw.T)
