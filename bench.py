@@ -365,6 +365,71 @@ def main() -> None:
     except Exception as e:
         print(f"WARNING: multiscale SIFT-config bench failed: {e!r}", file=sys.stderr)
 
+    # --refine at workload scale (the north-star layer the reference lacks): a
+    # closed-loop drive (out, U-turn, return lane, U-turn — ends at the start facing
+    # the same direction), full VO, then windowed BA + loop-closure pose graph, with
+    # before/after accuracy on record and a hard improvement gate.
+    refine_block = None
+    try:
+        from vo_tpu.engine.loop_closure import (LoopClosureConfig,
+                                                detect_loop_closures,
+                                                optimize_with_loops)
+        from vo_tpu.engine.refine import refine_trajectory
+        from vo_tpu.engine.pipeline import run_offline_vo
+        from vo_tpu.utils.synthetic import (default_world, depth_valid_fraction,
+                                            loop_trajectory, render_sequence)
+
+        lcache = f"/tmp/vo_tpu_bench_seq_loop_v2_{H}x{W}.npz"
+        try:
+            lblob = np.load(lcache)
+            limgs, ldeps, lgt = lblob["imgs"], lblob["deps"], lblob["gt"]
+        except Exception:
+            # Gentle U-turns (3.2 deg/frame — KITTI-like) in a wide corridor: a
+            # too-sharp turn starves keyframe matching for a few frames and the
+            # held poses lose the turn's heading permanently; that is a workload
+            # pathology, not a VO capability signal.
+            ltraj = loop_trajectory(out_frames=64, turn_frames=56,
+                                    step=0.8, turn_step=0.22)
+            limgs, ldeps, lgt = render_sequence(
+                len(ltraj), K, H=H, W=W, traj=ltraj,
+                world=default_world(half_width=14.0, fine_amp=1.0))
+            np.savez_compressed(lcache, imgs=limgs, deps=ldeps, gt=lgt)
+        assert float(depth_valid_fraction(ldeps).min()) > 0.5
+        LF = limgs.shape[0]
+
+        lposes, ldiag, (lfeats, lkp3d) = run_offline_vo(
+            limgs, ldeps, K, vo_config=vo_cfg, extractor=extractor,
+            extraction_batch=EXTRACT_BATCH, return_features=True)
+        res_b, acc_b, drift_b, _ = _score(lgt, lposes, ldiag)
+
+        t0 = time.perf_counter()
+        refined, rinfo = refine_trajectory(
+            lposes, lfeats.kp, lfeats.desc, lfeats.valid, lkp3d, jnp.asarray(K),
+            diag_promoted=np.asarray(ldiag.promoted_keyframe))
+        kfs = rinfo["keyframes"]
+        edges = detect_loop_closures(kfs, refined, lfeats.kp, lfeats.desc,
+                                     lfeats.valid, lkp3d, K,
+                                     LoopClosureConfig(min_gap=8, radius=10.0))
+        closed, _ = optimize_with_loops(refined, kfs, edges)
+        refine_wall = time.perf_counter() - t0
+        res_a, _, drift_a, _ = _score(lgt, closed, ldiag)
+        if not (np.isfinite(drift_a) and np.isfinite(res_a.seg_trans_err_pct)):
+            raise ValueError(f"non-finite refined trajectory (drift {drift_a})")
+
+        refine_block = {
+            "refine_frames": int(LF),
+            "refine_wall_s": round(refine_wall, 2),
+            "refine_keyframes": int(len(kfs)),
+            "refine_loop_edges": int(len(edges)),
+            "refine_final_drift_before_m": round(drift_b, 3),
+            "refine_final_drift_after_m": round(drift_a, 3),
+            "refine_seg_trans_before_pct": round(float(res_b.seg_trans_err_pct), 3),
+            "refine_seg_trans_after_pct": round(float(res_a.seg_trans_err_pct), 3),
+            "refined_better": bool(len(edges) >= 1 and drift_a < drift_b),
+        }
+    except Exception as e:
+        print(f"WARNING: refine bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "vo_frames_per_sec_1chip",
         "value": round(fps, 2),
@@ -403,6 +468,7 @@ def main() -> None:
         "sift_seg_rot_err_deg_100m": (round(float(sift_res.seg_rot_err_deg_per_100m), 3)
                                       if sift_res else None),
         "sift_accept_rate": round(sift_accept, 3) if sift_accept else None,
+        **(refine_block or {"refined_better": None}),
         "device": str(jax.devices()[0]),
     }))
 

@@ -204,3 +204,36 @@ class TestJitAndVmap:
                 jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)))
         assert out.shape == (8, 6)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestOrthonormalizePose:
+    def test_projects_back_to_so3(self, rng):
+        from vo_tpu.geometry.se3 import orthonormalize_pose
+
+        R = np.asarray(so3_exp(jnp.asarray(rng.normal(0, 1, (5, 3)).astype(np.float32))))
+        drift = 1.0 + rng.normal(0, 1e-3, (5, 1, 1))  # multiplicative scale creep
+        T = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+        T[:, :3, :3] = R * drift
+        T[:, :3, 3] = rng.normal(0, 1, (5, 3))
+        out = np.asarray(orthonormalize_pose(jnp.asarray(T)))
+        for i in range(5):
+            Ro = out[i, :3, :3]
+            np.testing.assert_allclose(Ro @ Ro.T, np.eye(3), atol=1e-5)
+            # nearest-rotation projection: still close to the uncorrupted R
+            np.testing.assert_allclose(Ro, R[i], atol=5e-3)
+        np.testing.assert_allclose(out[:, :3, 3], T[:, :3, 3], atol=0)  # t untouched
+
+    def test_chain_stays_on_manifold(self, rng):
+        """160 chained composes with per-step 1e-5 scale creep stay orthonormal when
+        each step re-projects (the VO engine's chain semantics)."""
+        from vo_tpu.geometry.se3 import orthonormalize_pose
+
+        rels = np.asarray(so3_exp(jnp.asarray(
+            rng.normal(0, 0.02, (160, 3)).astype(np.float32)))) * (1.0 + 1e-5)
+        T = np.eye(4, dtype=np.float32)
+        for R in rels:
+            step = np.eye(4, dtype=np.float32)
+            step[:3, :3] = R
+            T = np.asarray(orthonormalize_pose(jnp.asarray(T @ step)))
+        Rf = T[:3, :3]
+        assert abs(np.trace(Rf @ Rf.T) - 3.0) < 1e-5

@@ -52,6 +52,47 @@ class TestLoopClosure:
         assert e_after[-1] < 0.5 * e_before[-1], (e_before[-1], e_after[-1])
         assert e_after.mean() < e_before.mean()
 
+    def test_closed_loop_drive_end_to_end(self):
+        """The bench's --refine workload at test scale: a closed-loop drive (out,
+        U-turn, return lane, U-turn back — same-direction revisit), REAL VO, then
+        loop closure. The revisit must be detected from the VO estimate and the
+        pose graph must collapse the accumulated end drift."""
+        from vo_tpu.engine.pipeline import run_offline_vo
+        from vo_tpu.utils.synthetic import (default_world, depth_valid_fraction,
+                                            loop_trajectory)
+
+        traj = loop_trajectory(out_frames=40, turn_frames=56, step=0.8,
+                               turn_step=0.22)
+        F = len(traj)
+        # The loop must actually close (same place, same heading).
+        assert np.linalg.norm(traj[-1, :3, 3] - traj[0, :3, 3]) < 1.0
+        assert np.allclose(traj[-1, :3, :3], traj[0, :3, :3], atol=0.1)
+        imgs, deps, gt = render_sequence(
+            F, K, H=240, W=320, traj=traj,
+            world=default_world(half_width=14.0, fine_amp=1.0))
+        # Close wall passes need the fine texture octaves to stay feature-rich.
+        assert float(depth_valid_fraction(deps).min()) > 0.5
+
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60,
+                       kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        poses, diag, (feats, kp3d) = run_offline_vo(
+            imgs, deps, K, vo_config=cfg, extractor=OrbLikeExtractor(max_kp=512),
+            return_features=True)
+        assert np.mean(np.asarray(diag.accepted)) > 0.9
+
+        from vo_tpu.engine.refine import _select_keyframes
+
+        kfs = _select_keyframes(np.asarray(diag.promoted_keyframe), F)
+        edges = detect_loop_closures(
+            kfs, poses, feats.kp, feats.desc, feats.valid, kp3d, K,
+            LoopClosureConfig(min_gap=8, radius=10.0))
+        assert len(edges) >= 1, "same-direction revisit not detected"
+        closed, _ = optimize_with_loops(poses, kfs, edges)
+        drift_before = np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3])
+        drift_after = np.linalg.norm(closed[-1, :3, 3] - gt[-1, :3, 3])
+        assert drift_after < drift_before
+
     def test_non_revisiting_trajectory_proposes_no_candidates(self):
         """An oscillating forward drive never revisits: near-in-space pairs are also
         near-along-path, so the path-gap gate must yield ZERO candidates (short-range

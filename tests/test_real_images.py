@@ -1,0 +1,150 @@
+"""Full VO front-end on REAL photographs.
+
+Every other accuracy number in this repo rides the synthetic plane-world renderer;
+this exercises extract -> match -> PnP -> keyframe chain on real imagery (the
+reference's bundled photos, feature_extractors/r2d2/imgs/*.png — real noise
+statistics, repetitive structure, natural texture spectra) with EXACT geometric
+ground truth: each photo is placed on a fronto-parallel plane at depth d, a second
+camera at a known SE3 pose views the same plane (the view is the plane-induced
+homography H = K (R - t n^T / d) K^-1), and both views carry the analytically
+consistent depth maps. Pose recovery through the real pipeline must match the known
+relative pose.
+
+Mirrors the reference's real-imagery heritage (vo_stereo_runner.py:44-58 runs on real
+KITTI frames; KITTI imagery itself is not shipped here).
+"""
+
+import glob
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vo_tpu.engine.pipeline import run_offline_vo
+from vo_tpu.engine.vo import VOConfig
+from vo_tpu.estimation.pnp import PnPConfig
+from vo_tpu.features.extractor import OrbLikeExtractor
+
+_REFERENCE_IMGS = "/root/reference/feature_extractors/r2d2/imgs"
+
+K = np.array([[300.0, 0.0, 160.0], [0.0, 300.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
+H_IMG, W_IMG = 240, 320
+DEPTH = 5.0     # photo plane z in camera-1 frame (metres)
+
+
+def _load_photos():
+    paths = sorted(glob.glob(os.path.join(_REFERENCE_IMGS, "*.png")))
+    if len(paths) < 3:
+        pytest.skip("reference photos not available")
+    from PIL import Image
+
+    out = []
+    for p in paths[:4]:
+        img = Image.open(p).convert("L")
+        s = max(H_IMG / img.height, W_IMG / img.width)
+        img = img.resize((int(round(img.width * s)), int(round(img.height * s))),
+                         Image.BILINEAR)
+        x0, y0 = (img.width - W_IMG) // 2, (img.height - H_IMG) // 2
+        out.append(np.asarray(img.crop((x0, y0, x0 + W_IMG, y0 + H_IMG)), np.float32))
+    return out
+
+
+def _second_view(img1: np.ndarray, R: np.ndarray, t: np.ndarray):
+    """Render camera 2's view + both depth maps for the photo plane z = DEPTH.
+
+    X2 = R X1 + t. The plane-induced homography mapping image-1 pixels to image-2
+    pixels is K (R - t n^T / d) K^-1 for the plane n^T X1 = d... inverted here
+    because we need pixel1(pixel2) to SAMPLE image 1. Depths are the analytic
+    plane-ray intersections, so depth, image, and pose are mutually consistent.
+    """
+    Kinv = np.linalg.inv(K)
+    n = np.array([0.0, 0.0, 1.0])
+
+    # image 2 = sample image 1 at H21^-1 p2; warp_pair does that given H12.
+    # For X on the plane, n^T X1 = d  =>  t = t (n^T X1) / d, so
+    # X2 = R X1 + t = (R + t n^T / d) X1 (the familiar minus form is for the
+    # opposite plane convention n^T X + d = 0).
+    H12 = K @ (R + np.outer(t, n) / DEPTH) @ Kinv
+    from vo_tpu.train.pairs import warp_pair
+
+    img2, _, _ = warp_pair(jnp.asarray(img1), jnp.asarray(H12, jnp.float32))
+
+    dep1 = np.full((H_IMG, W_IMG), DEPTH, np.float32)
+
+    # plane in cam-2 coords: (R n) . (X2 - t) = d  =>  z2 along each pixel ray
+    n2 = R @ n
+    d2 = DEPTH + n2 @ t
+    xs, ys = np.meshgrid(np.arange(W_IMG, dtype=np.float64),
+                         np.arange(H_IMG, dtype=np.float64))
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T
+    denom = rays @ n2
+    z2 = np.where(np.abs(denom) > 1e-9, d2 / denom, 0.0)
+    dep2 = np.clip(z2, 0.0, None).astype(np.float32)
+    return np.asarray(img2, np.float32), dep1, dep2
+
+
+def _relative_poses():
+    """A few known cam1->cam2 motions: translation + mild rotation."""
+    def rot_y(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rot_x(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    return [
+        (rot_y(0.03), np.array([0.25, 0.0, 0.1])),
+        (rot_x(-0.02) @ rot_y(-0.04), np.array([-0.2, 0.1, 0.15])),
+        (rot_y(0.05), np.array([0.1, -0.12, -0.1])),
+        (rot_x(0.03), np.array([0.3, 0.05, 0.0])),
+    ]
+
+
+class TestRealImagePipeline:
+    def test_pose_recovery_on_real_photos(self):
+        """extract->match->PnP->chain on >= 3 real photographs recovers the known
+        camera motion (translation within 5 cm at 5 m scene depth, rotation within
+        0.5 deg)."""
+        photos = _load_photos()
+        motions = _relative_poses()
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+
+        recovered = 0
+        for img1, (R, t) in zip(photos, motions):
+            img2, dep1, dep2 = _second_view(img1, R, t)
+            poses, diag = run_offline_vo(
+                np.stack([img1, img2]), np.stack([dep1, dep2]), K,
+                vo_config=cfg, extractor=ex)
+            assert bool(np.asarray(diag.accepted)[0]), "frame rejected"
+            # ground truth camera-2 pose (cam-to-world with cam1 = world):
+            # X2 = R X1 + t  =>  T_wc2 = [R^T, -R^T t]
+            T_gt = np.eye(4)
+            T_gt[:3, :3] = R.T
+            T_gt[:3, 3] = -R.T @ t
+            t_err = np.linalg.norm(poses[1, :3, 3] - T_gt[:3, 3])
+            cos_r = (np.trace(poses[1, :3, :3] @ T_gt[:3, :3].T) - 1.0) / 2.0
+            r_err = np.degrees(np.arccos(np.clip(cos_r, -1.0, 1.0)))
+            assert t_err < 0.05, (t_err, "translation error on real photo")
+            assert r_err < 0.5, (r_err, "rotation error on real photo")
+            recovered += 1
+        assert recovered >= 3
+
+    def test_real_photo_match_support(self):
+        """Real-texture matching is not marginal: the accepted pose rides a healthy
+        inlier set, not a lucky minimal sample."""
+        photos = _load_photos()
+        R, t = _relative_poses()[0]
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        ex = OrbLikeExtractor(max_kp=512)
+        for img1 in photos[:3]:
+            img2, dep1, dep2 = _second_view(img1, R, t)
+            _, diag = run_offline_vo(np.stack([img1, img2]),
+                                     np.stack([dep1, dep2]), K,
+                                     vo_config=cfg, extractor=ex)
+            assert int(np.asarray(diag.n_matches)[0]) >= 60
+            assert int(np.asarray(diag.n_inliers)[0]) >= 40

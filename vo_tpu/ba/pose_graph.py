@@ -27,7 +27,7 @@ from vo_tpu.ops.precision import geometry_precision
 @dataclass(frozen=True)
 class PoseGraphConfig:
     iterations: int = 20
-    damping: float = 1e-6
+    damping: float = 1e-4        # initial LM damping, adapted per iteration
     fix_first: bool = True
 
     def __hash__(self):
@@ -66,9 +66,13 @@ def optimize_pose_graph(
         rel = Ti_inv @ T[jj]
         return se3_log(z_inv @ rel), rel                      # (E, 6)
 
-    def iteration(T, _):
+    def cost_of(e):
+        return jnp.sum(edges_w * jnp.sum(e * e, axis=-1))
+
+    def iteration(carry, _):
+        T, damping = carry
         e, rel = residuals(T)
-        cost = jnp.sum(edges_w * jnp.sum(e * e, axis=-1))
+        cost = cost_of(e)
 
         Jj = jnp.broadcast_to(jnp.eye(6), (E, 6, 6))
         Ji = -adjoint(pose_inverse(rel))
@@ -90,14 +94,27 @@ def optimize_pose_graph(
                                    jnp.concatenate([ii, jj]), num_segments=N)
         g = bvec.reshape(6 * N)
 
-        H = H + cfg.damping * jnp.eye(6 * N) + 1e-8 * jnp.eye(6 * N)
+        # LM damping scaled to H's own diagonal (an absolute epsilon is invisible
+        # next to loop-weighted blocks and useless once the gradient vanishes).
+        H = H + damping * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6))
         if cfg.fix_first:
             mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (N - 1))])
             H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
             g = g * mask
         delta = jnp.linalg.solve(H, g).reshape(N, 6)
         T_new = jax.vmap(lambda Tk, d: Tk @ se3_exp(d))(T, delta)
-        return T_new, cost
 
-    T_opt, costs = jax.lax.scan(iteration, poses, None, length=cfg.iterations)
+        # Step acceptance (same contract as bundle_adjust): an unconditional GN
+        # step from a converged state once exploded 0.13 -> 1e32 -> NaN on a
+        # 120-node graph; reject non-improving or non-finite steps and raise the
+        # damping instead.
+        e2, _ = residuals(T_new)
+        cost1 = cost_of(e2)
+        improved = jnp.isfinite(cost1) & (cost1 < cost)
+        T = jax.tree.map(lambda a, b: jnp.where(improved, a, b), T_new, T)
+        damping = jnp.where(improved, damping * 0.5, damping * 10.0)
+        return (T, damping), cost
+
+    (T_opt, _), costs = jax.lax.scan(iteration, (poses, jnp.asarray(cfg.damping)),
+                                     None, length=cfg.iterations)
     return T_opt, costs

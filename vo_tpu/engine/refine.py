@@ -33,6 +33,16 @@ class RefineConfig:
     binary_desc: bool = True
     ba: BAConfig = BAConfig(iterations=10)
     min_obs_per_landmark: int = 2
+    # Trust gates on a window's correction before it re-anchors the tail: a window
+    # that converged onto outliers (few verified obs through an aggressive turn)
+    # once applied an 18 deg / 4.5 m "correction" whose error propagated to every
+    # later frame. VO drift WITHIN an 8-keyframe window is centimetres/sub-degree,
+    # so corrections beyond these bounds are evidence the window solved the wrong
+    # problem, as is a post-fit cost per observation far above the ~1 px^2 a
+    # healthy window reaches (the diverged window measured 10.2).
+    max_correction_rot_deg: float = 3.0
+    max_correction_t: float = 1.0
+    max_cost_per_obs: float = 6.0
 
 
 def _select_keyframes(diag_promoted: np.ndarray, n_frames: int,
@@ -213,12 +223,37 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
                                      kp3d_valid, K, cfg, rows=row_of[ids])
         T_cw_opt, _, info = bundle_adjust(prob, cfg.ba)
         T_wc_opt = np.asarray(pose_inverse(T_cw_opt))
-        infos.append({k: float(np.asarray(v)) for k, v in info.items()
-                      if np.asarray(v).ndim == 0})
+        window_info = {k: float(np.asarray(v)) for k, v in info.items()
+                       if np.asarray(v).ndim == 0}
+        n_obs = int(np.asarray(prob.obs_valid).sum())
+        window_info["n_obs"] = float(n_obs)
+        window_info["cost_per_obs"] = (window_info.get("final_cost", 0.0)
+                                       / max(n_obs, 1))
+        if not np.isfinite(T_wc_opt).all():
+            # A window with too few verified observations (e.g. through an
+            # aggressive turn) can diverge; skipping its correction keeps the rest
+            # of the trajectory intact instead of poisoning every later frame.
+            window_info["skipped"] = 1.0
+            infos.append(window_info)
+            continue
+
+        # Trust gates (see RefineConfig): reject implausibly large corrections and
+        # windows whose post-fit residual says they converged onto outliers.
+        corr = T_wc_opt @ np.linalg.inv(refined[ids])       # (P, 4, 4)
+        tr = np.clip(0.5 * (np.einsum("pii->p", corr[:, :3, :3]) - 1.0), -1.0, 1.0)
+        max_rot = float(np.degrees(np.arccos(tr)).max())
+        max_t = float(np.linalg.norm(corr[:, :3, 3], axis=1).max())
+        window_info["max_corr_rot_deg"] = max_rot
+        window_info["max_corr_t_m"] = max_t
+        if (max_rot > cfg.max_correction_rot_deg or max_t > cfg.max_correction_t
+                or window_info["cost_per_obs"] > cfg.max_cost_per_obs):
+            window_info["skipped"] = 1.0
+            infos.append(window_info)
+            continue
+        infos.append(window_info)
 
         # Re-anchor: each frame from ids[0] on follows its window keyframe's
         # correction — batched einsum over the tail, not a per-frame Python loop.
-        corr = T_wc_opt @ np.linalg.inv(refined[ids])       # (P, 4, 4)
         f0 = int(ids[0])
         j_of = np.searchsorted(ids, np.arange(f0, F), side="right") - 1
         refined[f0:] = np.einsum("fij,fjk->fik", corr[j_of], refined[f0:])

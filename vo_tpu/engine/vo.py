@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from vo_tpu.estimation.pnp import PnPConfig, pnp_ransac
-from vo_tpu.geometry.se3 import pose_inverse
+from vo_tpu.geometry.se3 import orthonormalize_pose, pose_inverse
 from vo_tpu.matching.matchers import (
     mutual_nn_match,
     ratio_match,
@@ -163,7 +163,7 @@ class VOEngine:
         # rounds at the ~0.25 m level — catastrophic when accumulated per frame
         # (see ops/precision.py).
         with jax.default_matmul_precision("highest"):
-            chained = state.ref_pose @ rel
+            chained = orthonormalize_pose(state.ref_pose @ rel)
         cur_pose = jnp.where(accepted, chained, state.ref_pose)
         bad_pnp = jnp.where(accepted, 0, state.bad_pnp + 1)
 

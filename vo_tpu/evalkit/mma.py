@@ -67,7 +67,12 @@ def mma_on_warps(extract_fn, images, key, thresholds=tuple(range(1, 11)),
 
     mma = np.stack(curves).mean(0)
     out = {"thresholds": list(thresholds), "mma": mma.tolist(),
-           "n_pairs": B, "mean_matches": float(np.mean(n_matches))}
+           "n_pairs": B, "mean_matches": float(np.mean(n_matches)),
+           "matches_per_pair": [int(m) for m in n_matches]}
     if 3 in thresholds:
-        out["mma@3"] = float(mma[list(thresholds).index(3)])
+        ti = list(thresholds).index(3)
+        per_pair = [float(c[ti]) for c in curves]
+        out["mma@3"] = float(mma[ti])
+        out["mma@3_per_pair"] = per_pair
+        out["mma@3_std"] = float(np.std(per_pair))
     return out

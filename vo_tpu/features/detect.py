@@ -90,8 +90,22 @@ def detect_keypoints(
     in_border = ((col >= border) & (col < W - border) &
                  (row >= border) & (row < H - border))
 
-    per_img_max = jnp.max(jnp.abs(response), axis=(1, 2), keepdims=True)
-    strong = response > rel_threshold * per_img_max
+    # Robust response scale: the detection floor used to be relative to the single
+    # strongest |response|, so one ultra-strong corner (e.g. a close textured
+    # surface entering the frame) raised the floor over the WHOLE image — measured
+    # on a U-turn frame: max response 2x a healthy frame's but p99.9 78x lower, and
+    # detection collapsed to ~20 keypoints. Anchor instead to 10x the median of
+    # per-tile (32 px) maxima: a lone hot tile cannot move the median, and for
+    # well-conditioned images 10x the median tile max ~ the global max, so the
+    # default rel_threshold keeps its calibration.
+    t = 32
+    Hp, Wp = -(-H // t) * t, -(-W // t) * t
+    rp = jnp.pad(response, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                 constant_values=0.0)
+    tiles = rp.reshape(B, Hp // t, t, Wp // t, t).max(axis=(2, 4))
+    scale = 10.0 * jnp.median(jnp.maximum(tiles.reshape(B, -1), 0.0), axis=1)
+    scale = jnp.maximum(scale, 1e-20)[:, None, None]
+    strong = response > rel_threshold * scale
 
     masked = jnp.where(is_peak & in_border & strong, response, -jnp.inf)
 

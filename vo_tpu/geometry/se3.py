@@ -34,6 +34,25 @@ def pose_from_rt(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 
 @geometry_precision
+def orthonormalize_pose(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (one symmetric-orthogonalization
+    Newton step: R <- 1.5 R - 0.5 R R^T R), batched.
+
+    Chained pose composition accumulates multiplicative scale in R (~1e-5/compose
+    from finite-precision matmuls): after a 160-frame chain the rotation diagonal
+    measured 1.0018, which pushes trace(R_err) above 3 and makes the KITTI
+    evaluator's arccos(clip(...)) rotation metric (kittievalodom.py:138-150, quirk
+    replicated in evalkit) silently report 0 — masking real rotation drift. One
+    Newton's convergence is quadratic, so two steps take even a 1e-2 deviation to
+    float precision; applying this at every chain step keeps the whole trajectory
+    on the manifold."""
+    R = T[..., :3, :3]
+    for _ in range(2):
+        R = 1.5 * R - 0.5 * jnp.einsum("...ij,...kj,...kl->...il", R, R, R)
+    return T.at[..., :3, :3].set(R)
+
+
+@geometry_precision
 def pose_inverse(T: jnp.ndarray) -> jnp.ndarray:
     """Closed-form SE3 inverse: [R t]^-1 = [R^T  -R^T t]."""
     R = T[..., :3, :3]

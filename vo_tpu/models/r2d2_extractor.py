@@ -39,6 +39,14 @@ class R2D2Extractor:
     nms_size: int = 3                   # R2D2.py:84 (MaxPool2d kernel 3)
     border: int = 8
     desc_dtype: str = "bfloat16"
+    score_mode: str = "rel*rep"         # 'rel*rep' (deploy, R2D2.py:188) | 'rep'
+    # 'rep' ranks detections by the repeatability head alone. Mid-training the
+    # reliability head legitimately collapses toward 0 wherever descriptor AP is
+    # still below the loss's base value (train/losses.py ap_reliability_loss), which
+    # zeroes rel*rep almost everywhere and starves detection even with all
+    # thresholds off — the r03 retrain-parity harness measured 116 -> 10 matches
+    # from exactly this. Detector-quality evaluation should rank by the detector
+    # head; reliability is a matching confidence.
 
     _params_store: dict = field(default_factory=dict, hash=False, compare=False)
 
@@ -65,17 +73,19 @@ class R2D2Extractor:
     def __call__(self, images: jnp.ndarray) -> Features:
         return _r2d2_extract(
             self.params, images, self.spec, self.max_kp, self.rel_thr, self.rep_thr,
-            self.score_thr, self.nms_size, self.border, self.desc_dtype)
+            self.score_thr, self.nms_size, self.border, self.desc_dtype,
+            self.score_mode)
 
     def __hash__(self):
         return hash((self.spec, self.params_id, self.max_kp, self.rel_thr,
                      self.rep_thr, self.score_thr, self.nms_size, self.border,
-                     self.desc_dtype))
+                     self.desc_dtype, self.score_mode))
 
 
-@partial(jax.jit, static_argnames=("spec", "max_kp", "nms_size", "border", "desc_dtype"))
+@partial(jax.jit, static_argnames=("spec", "max_kp", "nms_size", "border",
+                                   "desc_dtype", "score_mode"))
 def _r2d2_extract(params, images, spec, max_kp, rel_thr, rep_thr, score_thr,
-                  nms_size, border, desc_dtype):
+                  nms_size, border, desc_dtype, score_mode="rel*rep"):
     if images.ndim == 3:
         images = images[..., None].repeat(3, axis=-1)
     x = images.astype(jnp.float32) / 255.0
@@ -101,7 +111,8 @@ def _r2d2_extract(params, images, spec, max_kp, rel_thr, rep_thr, score_thr,
     keep &= ((col >= border) & (col < W - border) &
              (row >= border) & (row < H - border))
 
-    score = jnp.where(keep, rel * rep, -jnp.inf)
+    raw_score = rep if score_mode == "rep" else rel * rep
+    score = jnp.where(keep, raw_score, -jnp.inf)
     flat = score.reshape(B, H * W)
     top_score, idx = jax.lax.top_k(flat, max_kp)
     y = (idx // W).astype(jnp.float32)

@@ -141,11 +141,14 @@ def main(argv=None) -> int:
     ap.add_argument("--retain", choices=("all", "sparse"), default="all",
                     help="feature retention: 'sparse' keeps only keyframes + every "
                          "4th frame so --refine runs in bounded memory on long runs")
-    ap.add_argument("--depth-transfer", choices=("float32", "uint16mm"),
+    ap.add_argument("--depth-transfer",
+                    choices=("float32", "uint16mm", "sparse"),
                     default="float32",
                     help="host->device depth format: 'uint16mm' halves link bytes "
                          "(1 mm quantization, clamps beyond 65.5 m — fine for any "
-                         "depth gate <= 65 m)")
+                         "depth gate <= 65 m); 'sparse' never ships the depth map "
+                         "at all — keypoint pixels come back and only their depths "
+                         "go up (~230x fewer depth bytes, same mm quantization)")
     args = ap.parse_args(argv)
 
     cfg = RunConfig.from_yaml(args.config)
@@ -158,7 +161,10 @@ def main(argv=None) -> int:
     nat = NativeRGBDSequence.try_open(cfg.image_path) if cfg.image_path else None
     if nat is not None:
         n = min(len(nat), args.limit) if args.limit else len(nat)
-        batches = nat.iter_batches(cfg.extraction_batch, limit=n)
+        batches = nat.iter_batches(
+            cfg.extraction_batch, limit=n,
+            gray=args.depth_transfer == "sparse",
+            depth="u16mm" if args.depth_transfer == "sparse" else "f32")
         loader = "native"
     else:
         seq = RGBDSequence.from_dir(cfg.image_path)
