@@ -143,3 +143,20 @@ class TestPoseGraph:
                                          jnp.ones(len(edges), np.float32),
                                          PoseGraphConfig(iterations=5))
         assert np.allclose(np.asarray(opt), poses_gt, atol=1e-3)
+
+    def test_long_run_past_convergence_stays_finite(self, rng):
+        """Running MANY iterations past convergence must not diverge: the
+        pre-LM optimizer applied every GN step unconditionally and a converged
+        120-node graph once exploded 0.13 -> 1e32 -> NaN. Step acceptance +
+        adaptive damping make over-iteration safe."""
+        poses_gt, init, edges, zs = self.make_chain(rng, N=40)
+        w = np.ones(len(edges), np.float32)
+        w[-1] = 20.0
+        opt, costs = optimize_pose_graph(jnp.asarray(init), jnp.asarray(edges),
+                                         jnp.asarray(zs), jnp.asarray(w),
+                                         PoseGraphConfig(iterations=120))
+        costs = np.asarray(costs)
+        assert np.isfinite(np.asarray(opt)).all()
+        assert np.isfinite(costs).all()
+        # monotone non-increasing recorded costs (rejected steps hold)
+        assert (np.diff(costs) <= 1e-4 * np.maximum(costs[:-1], 1.0)).all()

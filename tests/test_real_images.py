@@ -148,3 +148,44 @@ class TestRealImagePipeline:
                                      vo_config=cfg, extractor=ex)
             assert int(np.asarray(diag.n_matches)[0]) >= 60
             assert int(np.asarray(diag.n_inliers)[0]) >= 40
+
+
+class TestRealImageTrajectory:
+    def test_multiframe_trajectory_on_real_photo(self):
+        """A short TRAJECTORY over a real photograph: 8 views of the photo plane
+        along a known camera path through the full VO engine (keyframe promotion
+        and chaining included), scored against ground truth. This is the sequence-
+        level version of the pairwise recovery test — the closest available
+        stand-in for a real-video run without shipping KITTI imagery."""
+        photos = _load_photos()
+        img0 = photos[0]
+        F = 8
+
+        def rot_y(a):
+            c, s = np.cos(a), np.sin(a)
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+        # camera path: slow lateral+forward drift with mild yaw
+        gt = [np.eye(4)]
+        imgs = [img0]
+        deps = [np.full((H_IMG, W_IMG), DEPTH, np.float32)]
+        for i in range(1, F):
+            R = rot_y(0.008 * i)
+            t = np.array([0.06 * i, 0.01 * i, 0.04 * i])
+            img_i, _, dep_i = _second_view(img0, R, t)
+            T = np.eye(4)
+            T[:3, :3] = R.T
+            T[:3, 3] = -R.T @ t
+            gt.append(T)
+            imgs.append(img_i)
+            deps.append(dep_i)
+        gt = np.stack(gt)
+
+        cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,
+                       pnp=PnPConfig(min_inliers=15, n_hypotheses=256))
+        poses, diag = run_offline_vo(np.stack(imgs), np.stack(deps), K,
+                                     vo_config=cfg,
+                                     extractor=OrbLikeExtractor(max_kp=512))
+        assert np.asarray(diag.accepted).all()
+        t_err = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+        assert t_err.max() < 0.08, t_err

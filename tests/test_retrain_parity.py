@@ -46,6 +46,19 @@ class TestRetrainParityArtifact:
         assert len(steps) >= 3 and steps == sorted(steps)
         assert report["eval_images"] >= 3 and report["data_dir"]
 
+    def test_statistically_real(self, report):
+        """r03 verdict bars: MMA on ~10 matches/pair over 4 images is not parity.
+        The committed artifact must carry >= 16 eval images, a trained net whose
+        match support is comparable to the ported one (>= 25 mean mutual-NN
+        matches), mma3 >= 0.7, and the per-pair spread on record."""
+        assert report["eval_images"] >= 16, report["eval_images"]
+        assert report["trained_mean_matches"] >= 25.0, report
+        assert report["mma3_trained"] >= 0.7, report
+        assert report["match_support_ok"] is True
+        last = report["curve"][-1]
+        assert len(last["mma3_per_pair"]) == report["eval_images"]
+        assert report["mma3_trained_std"] is not None
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("RUN_RETRAIN_FULL"),
