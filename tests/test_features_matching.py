@@ -169,3 +169,30 @@ class TestExtractorAndMatching:
         sim = np.asarray(similarity_matrix(jnp.asarray(a), jnp.asarray(b)))
         ham = ((a[:, None] * b[None, :]) < 0).sum(-1)
         assert np.allclose((D - sim) / 2, ham)
+
+
+class TestSubpixelRefinement:
+    def test_recovers_fractional_peak(self):
+        """A quadratic bump centred between pixels: parabola interpolation recovers
+        the fractional coordinate within 0.05 px (integer detection is 0.5 off)."""
+        from vo_tpu.features.detect import detect_keypoints, refine_subpixel
+
+        H, W = 64, 96
+        cx, cy = 47.3, 31.6
+        ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing="ij")
+        resp = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / 18.0)[None]
+        kp, score, valid = detect_keypoints(jnp.asarray(resp), max_kp=4,
+                                            nms_size=5, rel_threshold=1e-3,
+                                            border=4, subpixel=True)
+        best = np.asarray(kp[0, 0])
+        assert np.asarray(valid[0, 0])
+        assert abs(best[0] - cx) < 0.05 and abs(best[1] - cy) < 0.05, best
+
+    def test_invalid_rows_untouched(self):
+        from vo_tpu.features.detect import refine_subpixel
+
+        resp = jnp.asarray(np.random.default_rng(0).random((1, 32, 32), np.float32))
+        kp = jnp.zeros((1, 3, 2))
+        out = refine_subpixel(resp, kp, jnp.zeros((1, 3), bool))
+        assert np.array_equal(np.asarray(out), np.asarray(kp))

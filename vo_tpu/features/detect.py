@@ -60,13 +60,44 @@ def dog_response(gray: jnp.ndarray, sigma: float = 1.0,
     return jnp.abs(gaussian_blur(gray, k * sigma) - gaussian_blur(gray, sigma))
 
 
-@partial(jax.jit, static_argnames=("max_kp", "nms_size", "border"))
+def refine_subpixel(response: jnp.ndarray, kp: jnp.ndarray,
+                    valid: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic (parabola) peak interpolation: integer peaks -> subpixel coords.
+
+    Integer-pixel keypoints put a ~0.3 px rms quantization floor under every match
+    residual, which is exactly the noise floor windowed BA bottoms out on. Fitting a
+    1-D parabola through the response at the peak and its two axis neighbours (the
+    standard cv2.cornerSubPix-lite) recovers the fractional offset at the cost of
+    six gathers per keypoint. Offsets are clamped to (-0.5, 0.5); invalid rows pass
+    through untouched."""
+    B, H, W = response.shape
+    bt = jnp.arange(B)[:, None]
+    xi = jnp.clip(kp[..., 0].astype(jnp.int32), 1, W - 2)
+    yi = jnp.clip(kp[..., 1].astype(jnp.int32), 1, H - 2)
+    c = response[bt, yi, xi]
+    xm = response[bt, yi, xi - 1]
+    xp = response[bt, yi, xi + 1]
+    ym = response[bt, yi - 1, xi]
+    yp = response[bt, yi + 1, xi]
+
+    def off(m, p):
+        denom = m - 2.0 * c + p
+        d = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    dx = jnp.where(valid, off(xm, xp), 0.0)
+    dy = jnp.where(valid, off(ym, yp), 0.0)
+    return kp + jnp.stack([dx, dy], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_kp", "nms_size", "border", "subpixel"))
 def detect_keypoints(
     response: jnp.ndarray,
     max_kp: int = 2048,
     nms_size: int = 5,
     rel_threshold: float = 1e-4,
     border: int = 16,
+    subpixel: bool = False,
 ):
     """Select the top ``max_kp`` NMS-surviving response peaks per image.
 
@@ -76,6 +107,7 @@ def detect_keypoints(
       nms_size: odd side of the non-max suppression window.
       rel_threshold: keep peaks with response > rel_threshold * per-image max.
       border: suppress detections within this margin (descriptor patch must fit).
+      subpixel: parabola-refine peak coordinates (see ``refine_subpixel``).
     Returns:
       kp: (B, max_kp, 2) float32 [x, y] pixel coords (0 where invalid).
       score: (B, max_kp) response values.
@@ -129,6 +161,8 @@ def detect_keypoints(
         x = (idx % W).astype(jnp.float32)
         valid = jnp.isfinite(score)
         kp = jnp.stack([jnp.where(valid, x, 0.0), jnp.where(valid, y, 0.0)], axis=-1)
+        if subpixel:
+            kp = refine_subpixel(response, kp, valid)
         return kp, jnp.where(valid, score, 0.0), valid
     if (Hp, Wp) != (H, W):
         masked = jnp.pad(masked, ((0, 0), (0, Hp - H), (0, Wp - W)),
@@ -147,5 +181,7 @@ def detect_keypoints(
     x = (2 * cx + sel % 2).astype(jnp.float32)
     valid = jnp.isfinite(score)
     kp = jnp.stack([jnp.where(valid, x, 0.0), jnp.where(valid, y, 0.0)], axis=-1)
+    if subpixel:
+        kp = refine_subpixel(response, kp, valid)
     score = jnp.where(valid, score, 0.0)
     return kp, score, valid

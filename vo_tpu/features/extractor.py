@@ -41,6 +41,13 @@ class OrbLikeExtractor:
     nms_size: int = 5
     rel_threshold: float = 1e-4
     border: int = 21  # >= brief patch radius + 1
+    subpixel: bool = False  # parabola peak refinement. Default OFF: measured on
+                            # the bench workload it WORSENS the RGB-D path (seg
+                            # 0.030 -> 0.091 %) — the refined uv no longer sits on
+                            # the pixel whose depth backs its 3D point, and that
+                            # uv/depth inconsistency outweighs the integer-grid
+                            # match-residual gain. Useful for pure-2D pipelines
+                            # (homography/essential estimation).
     bits: int = BRIEF_BITS
     response: str = "harris"  # 'harris' | 'shi_tomasi' | 'hessian' (SURF-style box DoH)
     oriented: bool = False    # True: rotation-steered patch BRIEF (slower, gather-heavy)
@@ -78,6 +85,7 @@ class OrbLikeExtractor:
         kp, score, valid = detect_keypoints(
             resp, max_kp=self.max_kp, nms_size=self.nms_size,
             rel_threshold=self.rel_threshold, border=self.border,
+            subpixel=self.subpixel,
         )
         if self.descriptor == "gradhist":
             from vo_tpu.features.gradhist import gradhist_descriptors
@@ -97,4 +105,5 @@ class OrbLikeExtractor:
 
     def __hash__(self):
         return hash((self.max_kp, self.nms_size, self.rel_threshold, self.border,
-                     self.bits, self.response, self.oriented, self.descriptor))
+                     self.bits, self.response, self.oriented, self.descriptor,
+                     self.subpixel))

@@ -42,6 +42,7 @@ class MultiScaleClassicExtractor:
     rel_threshold: float = 1e-4
     border: int = 21
     bits: int = BRIEF_BITS
+    subpixel: bool = False  # see OrbLikeExtractor.subpixel
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, images: jnp.ndarray) -> Features:
@@ -69,7 +70,8 @@ class MultiScaleClassicExtractor:
                 resp = fn(g)
             kp, score, valid = detect_keypoints(
                 resp, max_kp=self.max_kp, nms_size=self.nms_size,
-                rel_threshold=self.rel_threshold, border=self.border)
+                rel_threshold=self.rel_threshold, border=self.border,
+                subpixel=self.subpixel)
             desc = self._describe(g, kp, valid)
             # map level coordinates to full resolution
             kps.append(kp * jnp.asarray([(W - 1) / max(Ws - 1, 1),
@@ -109,4 +111,4 @@ class MultiScaleClassicExtractor:
     def __hash__(self):
         return hash((self.max_kp, self.n_scales, self.scale_f, self.response,
                      self.descriptor, self.oriented, self.nms_size,
-                     self.rel_threshold, self.border, self.bits))
+                     self.rel_threshold, self.border, self.bits, self.subpixel))
