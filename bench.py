@@ -365,6 +365,56 @@ def main() -> None:
     except Exception as e:
         print(f"WARNING: multiscale SIFT-config bench failed: {e!r}", file=sys.stderr)
 
+    # TRUE-stereo trajectory: right-eye renders at KITTI baseline, ZNCC block
+    # matching for depth at the detected keypoints, full engine — the config the
+    # reference names 'Stereo' but implements as precomputed-depth consumption
+    # (vo_stereo_runner.py:39-50). Scored with the same gate as the other paths.
+    stereo_fps = stereo_res = stereo_sane = stereo_accept = None
+    try:
+        from vo_tpu.engine.pipeline import stereo_extract_and_backproject
+        from vo_tpu.utils.synthetic import render_rgbd, slalom_trajectory
+
+        BASELINE_M = 0.54
+        rcache = f"/tmp/vo_tpu_bench_seq_{WORKLOAD}_right_{F}x{H}x{W}.npz"
+        try:
+            rimgs = np.load(rcache)["rimgs"]
+        except Exception:
+            straj = slalom_trajectory(F, step=STEP)
+            shift = np.eye(4)
+            shift[0, 3] = BASELINE_M
+            rimgs = np.stack([render_rgbd(T @ shift, K, H=H, W=W)[0]
+                              for T in straj])
+            np.savez_compressed(rcache, rimgs=rimgs)
+        rimgs_d = jnp.asarray(rimgs)
+
+        SB = 8
+
+        def stereo_extract_all():
+            fc, kc = [], []
+            for s in range(0, F, SB):
+                f, k3 = stereo_extract_and_backproject(
+                    extractor, imgs_d[s:s + SB], rimgs_d[s:s + SB], Kj,
+                    BASELINE_M)
+                fc.append(f)
+                kc.append(k3)
+            return (jnp.concatenate([f.kp for f in fc]),
+                    jnp.concatenate([f.desc for f in fc]),
+                    jnp.concatenate([f.valid for f in fc]),
+                    jnp.concatenate(kc))
+
+        skp, sdesc, svalid, skp3d = stereo_extract_all()        # compile
+        sp, sdiag = engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
+        np.asarray(sp)
+        t0 = time.perf_counter()
+        skp, sdesc, svalid, skp3d = stereo_extract_all()
+        force(skp, sdesc, skp3d)
+        sp, sdiag = engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
+        stereo_poses = np.asarray(sp)
+        stereo_fps = F / (time.perf_counter() - t0)
+        stereo_res, stereo_accept, _, stereo_sane = _score(gt, stereo_poses, sdiag)
+    except Exception as e:
+        print(f"WARNING: stereo bench failed: {e!r}", file=sys.stderr)
+
     # --refine at workload scale (the north-star layer the reference lacks): a
     # closed-loop drive (out, U-turn, return lane, U-turn — ends at the start facing
     # the same direction), full VO, then windowed BA + loop-closure pose graph, with
@@ -468,6 +518,14 @@ def main() -> None:
         "sift_seg_rot_err_deg_100m": (round(float(sift_res.seg_rot_err_deg_per_100m), 3)
                                       if sift_res else None),
         "sift_accept_rate": round(sift_accept, 3) if sift_accept else None,
+        "stereo_pipeline_fps": round(stereo_fps, 2) if stereo_fps else None,
+        "stereo_trajectory_sane": stereo_sane,
+        "stereo_seg_trans_err_pct": (round(float(stereo_res.seg_trans_err_pct), 3)
+                                     if stereo_res else None),
+        "stereo_seg_rot_err_deg_100m": (
+            round(float(stereo_res.seg_rot_err_deg_per_100m), 3)
+            if stereo_res else None),
+        "stereo_accept_rate": round(stereo_accept, 3) if stereo_accept else None,
         **(refine_block or {"refined_better": None}),
         "device": str(jax.devices()[0]),
     }))

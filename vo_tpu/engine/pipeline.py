@@ -87,6 +87,40 @@ def gather_depth_u16mm(deps: np.ndarray, kp_i16: np.ndarray) -> np.ndarray:
     return np.round(np.clip(z, 0.0, 65.535) * 1000.0).astype(np.uint16)
 
 
+@partial(jax.jit, static_argnames=("extractor", "baseline", "max_disp"))
+def stereo_extract_and_backproject(
+    extractor,
+    left: jnp.ndarray,     # (F, H, W) rectified left grayscale
+    right: jnp.ndarray,    # (F, H, W) rectified right grayscale
+    K: jnp.ndarray,
+    baseline: float,
+    max_disp: int = 128,
+):
+    """True-stereo front-end: detect on the left image, measure depth by ZNCC block
+    matching along the epipolar row (features/stereo.py), back-project.
+
+    This is the configuration the reference NAMES stereo but never implements (its
+    'Stereo' runner consumes precomputed depth maps, vo_stereo_runner.py:39-50; the
+    notebook variant triangulates temporal matches). Validity folds in the stereo
+    match gate, so textureless / occluded keypoints drop out before PnP.
+    """
+    from vo_tpu.features.stereo import stereo_depth_at
+    from vo_tpu.geometry.camera import unproject
+
+    feats: Features = extractor(left)
+    lg = left.astype(jnp.float32)
+    rg = right.astype(jnp.float32)
+    depth, ok = jax.vmap(
+        lambda l, r, kp, v: stereo_depth_at(l, r, kp, v, K, baseline,
+                                            max_disp=max_disp)
+    )(lg, rg, feats.kp, feats.valid)
+    # Failed stereo matches yield z == 0 — rejected by the engine's depth gate,
+    # exactly like an invalid pixel in a dense depth map (depth_to_3d_at), while
+    # the keypoint stays available as a 2D observation for matching.
+    kp3d = unproject(feats.kp.astype(jnp.float32), jnp.where(ok, depth, 0.0), K)
+    return feats, kp3d
+
+
 def run_offline_vo(
     images: np.ndarray,
     depths: np.ndarray,
