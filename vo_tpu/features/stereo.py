@@ -5,6 +5,21 @@ actually consumes precomputed depth maps, vo_stereo_runner.py:39; its notebook s
 variant triangulates temporal matches). Here: ZNCC block matching along the epipolar
 row at each detected keypoint, parabolic sub-pixel refinement, depth = fx * baseline /
 disparity. Fixed disparity budget, masked validity — jits and vmaps over frames.
+
+TPU formulation (third iteration, each measured at bench scale, 2048 kp, 376x1232):
+  1. vmap over disparities gathering (D, K, P, P) windows — the (P, P) trailing dims
+     pad to full (8, 128) tiles, 25x memory expansion, 16 GB, OOM.
+  2. per-keypoint (K, P, P+D) strips + im2col GEMM — correct and compact, but the
+     2.5M-element two-axis gather alone costs 39 ms/frame; the ZNCC math is free
+     next to it.
+  3. THIS: a dense cost-volume scan with NO per-keypoint patch gathers. Box sums of
+     the left/right images and their squares are computed once (separable 9-tap
+     convs); each scan step rolls the right image's precomputed sums by one
+     disparity, forms the dense ZNCC plane with elementwise ops, and immediately
+     reduces it at the keypoint pixels (one tiny (K,) gather per step). The scan
+     carries only (K,) vectors (best score / argmax / parabola neighbours), so peak
+     memory is a handful of (H, W) planes — measured 3.5 ms/frame, 11x faster than
+     the strip gather.
 """
 
 from __future__ import annotations
@@ -14,7 +29,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from vo_tpu.ops.image import gaussian_blur
+from vo_tpu.ops.image import gaussian_blur, _conv1d
+
+
+def _box_sum(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(H, W) -> (H, W) sum over a size x size window (SAME, zero-padded edges)."""
+    k = jnp.ones((size,), jnp.float32)
+    return _conv1d(_conv1d(img[None], k, axis=1), k, axis=2)[0]
 
 
 @partial(jax.jit, static_argnames=("max_disp", "patch"))
@@ -31,74 +52,68 @@ def stereo_depth_at(
 ):
     """Returns (depth (K,), ok (K,)): metric depth at each keypoint, validity mask."""
     H, W = left.shape
-    r = patch // 2
-    lg = gaussian_blur(left[None], 1.0)[0]
-    rg = gaussian_blur(right[None], 1.0)[0]
+    P = patch
+    N = P * P
+    r = P // 2
+    lg = gaussian_blur(left[None], 1.0)[0].astype(jnp.float32)
+    rg = gaussian_blur(right[None], 1.0)[0].astype(jnp.float32)
 
     xi = jnp.clip(kp[:, 0].astype(jnp.int32), r + max_disp, W - 1 - r)
     yi = jnp.clip(kp[:, 1].astype(jnp.int32), r, H - 1 - r)
 
-    dy = jnp.arange(-r, r + 1)
-    dx = jnp.arange(-r, r + 1)
-    # Left patches: (K, P, P)
-    lpatch = lg[yi[:, None, None] + dy[None, :, None],
-                xi[:, None, None] + dx[None, None, :]]
-    lmean = lpatch.mean(axis=(1, 2), keepdims=True)
-    lzero = lpatch - lmean
-    lnorm = jnp.sqrt(jnp.sum(lzero * lzero, axis=(1, 2)) + 1e-6)
+    # Dense window statistics, once. sigma^2 * N for each window center.
+    bl = _box_sum(lg, P)
+    blsq = _box_sum(lg * lg, P)
+    br = _box_sum(rg, P)
+    brsq = _box_sum(rg * rg, P)
+    lvar = jnp.maximum(blsq - bl * bl / N, 0.0)
+    rvar = jnp.maximum(brsq - br * br / N, 0.0)
 
-    # Right strips: (K, P, P + max_disp) spanning all candidate disparities.
-    sx = jnp.arange(-(r + max_disp), r + 1)
-    strip = rg[yi[:, None, None] + dy[None, :, None],
-               xi[:, None, None] + sx[None, None, :]]
+    lnorm_kp = jnp.sqrt(lvar[yi, xi] + 1e-6)
+    bl_kp = bl[yi, xi]
 
-    # ZNCC for every disparity as CONVOLUTIONS over the strip — the naive
-    # vmap-over-disparities materializes a (D, K, P, P) window tensor whose (P, P)
-    # trailing dims pad to full (8, 128) TPU tiles: 25x memory expansion, 16 GB at
-    # bench scale, OOM. Instead: the cross term is a depthwise conv of the strip
-    # with each keypoint's zero-mean left patch as its own channel kernel (the
-    # l-mean term vanishes because sum(lzero) == 0), and the window mean/variance
-    # come from two box convs. Nothing with a disparity axis ever exceeds
-    # (K, max_disp) and the MXU does the sliding work.
-    P = patch
-    sf32 = strip.astype(jnp.float32)
-    K_n = sf32.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    K_n = kp.shape[0]
+    init = (jnp.full((K_n,), neg_inf),          # best score
+            jnp.zeros((K_n,), jnp.int32),       # best disparity
+            jnp.zeros((K_n,)),                  # s[best-1] (parabola left)
+            jnp.zeros((K_n,)),                  # s[best+1] (parabola right)
+            jnp.full((K_n,), neg_inf))          # previous step's score
 
-    dn = jax.lax.conv_dimension_numbers((1, K_n, P, P + max_disp),
-                                        (K_n, 1, P, P), ("NCHW", "OIHW", "NCHW"))
-    cross = jax.lax.conv_general_dilated(
-        sf32[None], lzero[:, None].astype(jnp.float32), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=K_n)[0, :, 0]   # (K, D+1)
+    def step(carry, d):
+        best, bestd, sm, sp, prev = carry
+        # Right pixel x - d aligns under left pixel x: roll right-image sums by +d.
+        # (Wrapped columns only affect x < r + max_disp, which the ok-gate excludes.)
+        rd = jnp.roll(rg, d, axis=1)
+        cross = _box_sum(lg * rd, P)
+        brd = jnp.roll(br, d, axis=1)
+        rvard = jnp.roll(rvar, d, axis=1)
+        s_kp = ((cross[yi, xi] - bl_kp * brd[yi, xi] / N)
+                / (lnorm_kp * jnp.sqrt(rvard[yi, xi] + 1e-6)))
 
-    ones = jnp.ones((1, 1, P, P), jnp.float32)
-    dn1 = jax.lax.conv_dimension_numbers((K_n, 1, P, P + max_disp),
-                                         (1, 1, P, P), ("NCHW", "OIHW", "NCHW"))
-    s1 = jax.lax.conv_general_dilated(sf32[:, None], ones, (1, 1), "VALID",
-                                      dimension_numbers=dn1)[:, 0, 0]
-    s2 = jax.lax.conv_general_dilated((sf32 * sf32)[:, None], ones, (1, 1),
-                                      "VALID", dimension_numbers=dn1)[:, 0, 0]
-    wvar = jnp.maximum(s2 - s1 * s1 / (P * P), 0.0)               # (K, D+1)
-    zncc_all = cross / (lnorm[:, None] * jnp.sqrt(wvar + 1e-6))
+        # Capture the parabola's right neighbour one step after a new best.
+        sp = jnp.where(bestd == d - 1, s_kp, sp)
+        new_best = s_kp > best
+        sm = jnp.where(new_best, prev, sm)
+        sp = jnp.where(new_best, 0.0, sp)
+        bestd = jnp.where(new_best, d, bestd)
+        best = jnp.maximum(best, s_kp)
+        return (best, bestd, sm, sp, s_kp), None
 
-    # Conv output column j is the window starting at strip column j, i.e.
-    # disparity d = max_disp - j; reorder to scores[:, d] for d in [0, max_disp).
-    scores = zncc_all[:, ::-1][:, :max_disp]                      # (K, max_disp)
+    (best, bestd, sm, sp, _), _ = jax.lax.scan(step, init,
+                                               jnp.arange(max_disp))
 
-    best = jnp.argmax(scores, axis=1)
-    best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
-
-    # Parabolic sub-pixel around the peak.
-    bm = jnp.clip(best, 1, max_disp - 2)
-    s_m = jnp.take_along_axis(scores, (bm - 1)[:, None], axis=1)[:, 0]
-    s_0 = jnp.take_along_axis(scores, bm[:, None], axis=1)[:, 0]
-    s_p = jnp.take_along_axis(scores, (bm + 1)[:, None], axis=1)[:, 0]
-    denom = (s_m - 2 * s_0 + s_p)
-    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (s_m - s_p) / denom, 0.0)
-    disp = bm.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
+    # Parabolic sub-pixel around the peak; endpoints fall back to the integer peak.
+    s0 = best
+    denom = sm - 2.0 * s0 + sp
+    interior = (bestd > 0) & (bestd < max_disp - 1)
+    delta = jnp.where(interior & (jnp.abs(denom) > 1e-6),
+                      0.5 * (sm - sp) / denom, 0.0)
+    disp = bestd.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
 
     fx = K_mat[0, 0]
     depth = fx * baseline / jnp.maximum(disp, 0.5)
-    ok = (valid & (best_score > min_zncc) & (best > 0)
+    ok = (valid & (best > min_zncc) & (bestd > 0)
           & (kp[:, 0] >= r + max_disp) & (kp[:, 0] < W - r)
           & (kp[:, 1] >= r) & (kp[:, 1] < H - r))
     return depth, ok
