@@ -297,7 +297,7 @@ def main() -> None:
                             pnp=PnPConfig(n_hypotheses=512),
                             use_pallas_match=pallas_ok)
         r2d2_engine = VOEngine(r2d2_cfg)
-        RB = 8
+        RB = 16
 
         def r2d2_extract_all():
             fc, kc = [], []

@@ -112,6 +112,10 @@ def init_patchnet_params(key, spec: PatchNetSpec, dtype=jnp.float32) -> dict:
     return params
 
 
+def _neg_inf(dtype):
+    return jnp.asarray(-jnp.inf, dtype)
+
+
 def _conv(x, w, b, dilation: int, pad: int):
     out = lax.conv_general_dilated(
         x, w, window_strides=(1, 1),
@@ -130,7 +134,7 @@ def _softplus_ratio(x):
 
 
 def apply_patchnet(params: dict, spec: PatchNetSpec, images: jnp.ndarray,
-                   train: bool = False) -> dict:
+                   train: bool = False, compute_dtype=jnp.float32) -> dict:
     """Forward pass.
 
     Args:
@@ -139,33 +143,41 @@ def apply_patchnet(params: dict, spec: PatchNetSpec, images: jnp.ndarray,
       train: True normalizes with batch statistics (affine-free BN train mode, matching
         the checkpoints' BatchNorm2d(affine=False)) and adds ``bn_stats`` (per-layer
         (mean, var) batch moments) to the output for running-stat updates.
+      compute_dtype: conv-stack activation/weight dtype. bf16 halves the HBM
+        traffic of the full-resolution dilated stack (inference only; BN moments
+        and the head normalizations stay f32).
     Returns:
       dict(descriptors (B, H', W', D) L2-normalized, reliability (B, H', W'),
            repeatability (B, H', W')[, bn_stats]).
     """
-    x = images
+    x = images.astype(compute_dtype)
     bn_stats = []
     for cs, layer in zip(spec.convs, params["convs"]):
-        x = _conv(x, layer["w"], layer["b"], cs.dilation, cs.pad)
+        x = _conv(x, layer["w"].astype(compute_dtype),
+                  layer["b"].astype(compute_dtype), cs.dilation, cs.pad)
         if cs.bn:
             if train:
-                mean = jnp.mean(x, axis=(0, 1, 2))
-                var = jnp.var(x, axis=(0, 1, 2))
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.var(xf, axis=(0, 1, 2))
                 bn_stats.append((mean, var))
             else:
                 mean, var = layer["bn_mean"], layer["bn_var"]
-            x = (x - mean) * lax.rsqrt(var + BN_EPS)
+            scale = lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
+            x = ((x.astype(jnp.float32) - mean) * scale).astype(compute_dtype)
         if cs.relu:
             x = jax.nn.relu(x)
         if cs.pool_after > 1:
             p = cs.pool_after
-            x = lax.reduce_window(x, -jnp.inf, lax.max,
+            x = lax.reduce_window(x, _neg_inf(x.dtype), lax.max,
                                   (1, p, p, 1), (1, p, p, 1), "VALID")
     if spec.upsample > 1:
-        B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * spec.upsample, W * spec.upsample, C),
-                             method="bilinear")
+        from vo_tpu.ops.image import resize_bilinear
 
+        B, H, W, C = x.shape
+        x = resize_bilinear(x, (H * spec.upsample, W * spec.upsample))
+
+    x = x.astype(jnp.float32)
     x2 = x * x
     urel = _conv(x2, params["clf"]["w"], params["clf"]["b"], 1, 0)
     urep = _conv(x2, params["sal"]["w"], params["sal"]["b"], 1, 0)

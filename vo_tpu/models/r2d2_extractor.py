@@ -39,6 +39,12 @@ class R2D2Extractor:
     nms_size: int = 3                   # R2D2.py:84 (MaxPool2d kernel 3)
     border: int = 8
     desc_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"     # conv-stack dtype. bf16 measured 4x faster
+                                        # extraction on v5e (20.9 -> 5.1 ms/frame,
+                                        # R2D2 pipeline 45 -> 156 fps) at equal
+                                        # accuracy (seg 0.289 vs 0.295 %, MMA@3
+                                        # 0.933 vs 0.941); strict weight-porting
+                                        # parity tests pin float32.
     score_mode: str = "rel*rep"         # 'rel*rep' (deploy, R2D2.py:188) | 'rep'
     # 'rep' ranks detections by the repeatability head alone. Mid-training the
     # reliability head legitimately collapses toward 0 wherever descriptor AP is
@@ -74,18 +80,19 @@ class R2D2Extractor:
         return _r2d2_extract(
             self.params, images, self.spec, self.max_kp, self.rel_thr, self.rep_thr,
             self.score_thr, self.nms_size, self.border, self.desc_dtype,
-            self.score_mode)
+            self.score_mode, self.compute_dtype)
 
     def __hash__(self):
         return hash((self.spec, self.params_id, self.max_kp, self.rel_thr,
                      self.rep_thr, self.score_thr, self.nms_size, self.border,
-                     self.desc_dtype, self.score_mode))
+                     self.desc_dtype, self.score_mode, self.compute_dtype))
 
 
 @partial(jax.jit, static_argnames=("spec", "max_kp", "nms_size", "border",
-                                   "desc_dtype", "score_mode"))
+                                   "desc_dtype", "score_mode", "compute_dtype"))
 def _r2d2_extract(params, images, spec, max_kp, rel_thr, rep_thr, score_thr,
-                  nms_size, border, desc_dtype, score_mode="rel*rep"):
+                  nms_size, border, desc_dtype, score_mode="rel*rep",
+                  compute_dtype="float32"):
     if images.ndim == 3:
         images = images[..., None].repeat(3, axis=-1)
     x = images.astype(jnp.float32) / 255.0
@@ -97,7 +104,7 @@ def _r2d2_extract(params, images, spec, max_kp, rel_thr, rep_thr, score_thr,
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge")
 
-    out = apply_patchnet(params, spec, x)
+    out = apply_patchnet(params, spec, x, compute_dtype=jnp.dtype(compute_dtype))
     desc = out["descriptors"][:, :H, :W]
     rel = out["reliability"][:, :H, :W]
     rep = out["repeatability"][:, :H, :W]
