@@ -112,6 +112,33 @@ class TestLosses:
         assert losses[-1] < losses[0], losses
 
 
+class TestGradThroughEverySpec:
+    """Regression guard for the r04 breakage: an Array init value in
+    lax.reduce_window (patchnet.py pool branch) defeats JAX's max-pool monoid
+    matching and kills reverse-mode autodiff. Cheap CPU check that jax.grad
+    flows through EVERY registered architecture's train-mode forward."""
+
+    @pytest.mark.parametrize("spec", [QUAD_L2NET_CONFCFS, FAST_QUAD_L2NET_CONFCFS],
+                             ids=lambda s: s.name)
+    def test_grad_flows(self, spec):
+        from vo_tpu.models.patchnet import apply_patchnet, init_patchnet_params
+
+        params = init_patchnet_params(jax.random.key(0), spec)
+        x = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3))
+
+        def loss(p):
+            out = apply_patchnet(p, spec, x, train=True)
+            return (jnp.mean(out["descriptors"] ** 2)
+                    + jnp.mean(out["reliability"]) + jnp.mean(out["repeatability"]))
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        # at least one conv weight gradient must be nonzero
+        assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
+
+
 class TestTrainStep:
     def test_loss_decreases_on_fixed_batch(self):
         # Same key every step -> same pair batch -> loss must strictly improve.

@@ -112,10 +112,6 @@ def init_patchnet_params(key, spec: PatchNetSpec, dtype=jnp.float32) -> dict:
     return params
 
 
-def _neg_inf(dtype):
-    return jnp.asarray(-jnp.inf, dtype)
-
-
 def _conv(x, w, b, dilation: int, pad: int):
     out = lax.conv_general_dilated(
         x, w, window_strides=(1, 1),
@@ -169,7 +165,10 @@ def apply_patchnet(params: dict, spec: PatchNetSpec, images: jnp.ndarray,
             x = jax.nn.relu(x)
         if cs.pool_after > 1:
             p = cs.pool_after
-            x = lax.reduce_window(x, _neg_inf(x.dtype), lax.max,
+            # The init value MUST stay the Python scalar -jnp.inf: passing an
+            # Array defeats JAX's max-pool monoid recognition, and the generic
+            # reduce_window has no reverse-mode rule (training would break).
+            x = lax.reduce_window(x, -jnp.inf, lax.max,
                                   (1, p, p, 1), (1, p, p, 1), "VALID")
     if spec.upsample > 1:
         from vo_tpu.ops.image import resize_bilinear
