@@ -318,10 +318,12 @@ def run_offline_vo_streaming(
                     q.put((start, jax.device_put(imgs), np.asarray(deps)))
                     continue
                 if transfer_depth == "uint16mm":
-                    deps = np.nan_to_num(np.asarray(deps, np.float32), nan=0.0,
-                                         posinf=0.0, neginf=0.0)
-                    deps = np.round(np.clip(deps, 0.0, 65.535)
-                                    * 1000.0).astype(np.uint16)
+                    deps = np.asarray(deps)
+                    if deps.dtype != np.uint16:  # already-quantized native u16mm
+                        deps = np.nan_to_num(deps.astype(np.float32), nan=0.0,
+                                             posinf=0.0, neginf=0.0)
+                        deps = np.round(np.clip(deps, 0.0, 65.535)
+                                        * 1000.0).astype(np.uint16)
                 else:
                     deps = np.asarray(deps, np.float32)
                 q.put((start, jax.device_put(imgs), jax.device_put(deps)))

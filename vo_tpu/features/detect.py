@@ -105,7 +105,12 @@ def detect_keypoints(
       response: (B, H, W) corner response map.
       max_kp: fixed keypoint budget (pad bucket; SURVEY.md §7 "variable keypoint counts").
       nms_size: odd side of the non-max suppression window.
-      rel_threshold: keep peaks with response > rel_threshold * per-image max.
+      rel_threshold: keep peaks with response > rel_threshold * scale, where scale
+        is a ROBUST per-image estimate: 10x the median of 32-px-tile response
+        maxima (not the single global max — changed r04). For well-conditioned
+        images the two agree, so the default keeps its calibration; externally
+        tuned thresholds calibrated against the old global-max scale, or used
+        with heavy-tailed non-Harris responses, may need re-tuning.
       border: suppress detections within this margin (descriptor patch must fit).
       subpixel: parabola-refine peak coordinates (see ``refine_subpixel``).
     Returns:

@@ -35,10 +35,12 @@ def _ensure_built() -> None:
         return
     _build_attempted = True
     src_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
-    so = os.path.join(src_dir, "libvoloader.so")
     src = os.path.join(src_dir, "vo_loader.cpp")
-    if os.path.exists(so) or not os.path.exists(src):
+    if not os.path.exists(src):
         return
+    # Run make even when the .so exists: the Makefile is dependency-correct, so
+    # this is a no-op when fresh and rebuilds a stale library left over from an
+    # older vo_loader.cpp (whose dlsym would otherwise fail on newer symbols).
     try:
         subprocess.run(["make", "-C", src_dir], check=True, timeout=120,
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -61,9 +63,14 @@ def _load_lib():
             lib.vol_meta.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int)] * 3
             lib.vol_next.restype = ctypes.c_int
             lib.vol_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
-            lib.vol_next2.restype = ctypes.c_int
-            lib.vol_next2.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_void_p, ctypes.c_void_p]
+            try:
+                lib.vol_next2.restype = ctypes.c_int
+                lib.vol_next2.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_void_p, ctypes.c_void_p]
+            except AttributeError:
+                # Stale pre-v2 build that make couldn't refresh (e.g. read-only
+                # checkout): degrade to the pure-Python loader instead of crashing.
+                continue
             lib.vol_close.restype = None
             lib.vol_close.argtypes = [ctypes.c_void_p]
             _lib = lib
@@ -153,7 +160,10 @@ class NativeRGBDSequence:
         img_fmt = 1 if gray else 0
         depth_fmt = 1 if depth == "u16mm" else 0
         ishape = (batch, self.H, self.W) if gray else (batch, self.H, self.W, 3)
-        start = 0
+        # Start from the shared sequential cursor so the yielded `start` is always
+        # an ABSOLUTE frame index even if the caller consumed frames via
+        # next_frame() first — the streaming runner uses it for pose bookkeeping.
+        start = self._emitted
         while start < n:
             imgs = np.empty(ishape, np.uint8)
             deps = np.empty((batch, self.H, self.W),
