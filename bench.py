@@ -115,7 +115,7 @@ def _probe_link_mbps() -> float:
     np.asarray(jnp.sum(jax.device_put(x)[..., -1]))  # warm-up
     t0 = time.perf_counter()
     np.asarray(jnp.sum(jax.device_put(x)[..., -1]))
-    return 8.0 / (time.perf_counter() - t0)
+    return x.nbytes / (time.perf_counter() - t0) / 1e6  # true MB/s (not MiB)
 
 
 def _decode_ceiling_fps(seq_dir: str) -> float:
@@ -178,6 +178,15 @@ def _score(gt, poses, diag):
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the tunnel's remote compile costs seconds per
+    # program; caching compiled modules across bench invocations on the same host
+    # removes recompiles of unchanged kernels (standard production JAX setting).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from vo_tpu.engine.pipeline import extract_and_backproject, run_offline_vo_streaming
     from vo_tpu.engine.vo import VOConfig, VOEngine
@@ -281,7 +290,9 @@ def main() -> None:
     # The dev tunnel's bandwidth swings 50x over minutes (measured 0.6-40 MB/s in
     # one session); bracketing probes + the wire-format byte count turn a bad-window
     # fps into a self-diagnosing record instead of a mystery outlier (r03's 4.76).
-    io_bytes_per_frame = H * W + 2 * extractor.max_kp * 2 + 21 * 4
+    # gray u8 image + int16 kp coords (x,y) + u16mm sparse-depth upload + pose row
+    io_bytes_per_frame = (H * W + 2 * extractor.max_kp * 2
+                          + 2 * extractor.max_kp + 21 * 4)
     link_limit_fps = min(link_mbps_before, link_mbps) * 1e6 / io_bytes_per_frame
     # The IO path rides the mm-quantized sparse depth transfer — gate its trajectory.
     _, _, _, io_sane = _score(gt, io_poses, io_diag)
@@ -415,6 +426,46 @@ def main() -> None:
     except Exception as e:
         print(f"WARNING: stereo bench failed: {e!r}", file=sys.stderr)
 
+    # Adversarial stress: the r01-r04 benches ran accept_rate 1.0 on every path —
+    # the pose-hold / bad-PnP / keyframe-promotion machinery was unit-tested but
+    # never exercised end-to-end at bench scale. Degrade the slalom workload with
+    # the three classic field failures and require the trajectory to RECOVER
+    # (keyframe-relative chaining snaps back after a blackout — the reference's own
+    # design, VisualOdometry_Stereo.py:268-296):
+    #   1. textureless wall pass  — 3 frames of near-constant intensity
+    #   2. depth dropout          — 7 frames losing 85% of depth pixels
+    #   3. dynamic occluder       — 16 frames of a moving textureless block with
+    #                               bogus near depth over ~30% of the image
+    adv_accept = adv_res = adv_sane = None
+    adv_holds = adv_promos = None
+    try:
+        from vo_tpu.engine.pipeline import run_offline_vo
+
+        aimgs = np.array(imgs)
+        adeps = np.array(deps)
+        rnga = np.random.default_rng(8214)
+        aimgs[40:43] = 128.0 + 2.0 * rnga.standard_normal(
+            aimgs[40:43].shape).astype(np.float32)
+        drop = rnga.uniform(size=adeps[80:87].shape) < 0.85
+        adeps[80:87] = np.where(drop, 0.0, adeps[80:87])
+        for t, fno in enumerate(range(110, 126)):
+            x0 = 40 + 70 * t
+            aimgs[fno, 60:316, x0:x0 + 360] = 90.0
+            adeps[fno, 60:316, x0:x0 + 360] = 2.0
+
+        aposes, adiag = run_offline_vo(aimgs, adeps, K, vo_config=vo_cfg,
+                                       extractor=extractor,
+                                       extraction_batch=EXTRACT_BATCH)
+        adv_res, adv_accept, _, adv_sane = _score(gt, aposes, adiag)
+        adv_holds = int((~np.asarray(adiag.accepted)).sum())
+        adv_promos = int(np.asarray(adiag.promoted_keyframe).sum())
+        if not (0.8 < adv_accept < 1.0):
+            print(f"WARNING: adversarial workload accept_rate {adv_accept:.3f} "
+                  "outside (0.8, 1.0) — stress segments not engaging the gates",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"WARNING: adversarial bench failed: {e!r}", file=sys.stderr)
+
     # --refine at workload scale (the north-star layer the reference lacks): a
     # closed-loop drive (out, U-turn, return lane, U-turn — ends at the start facing
     # the same direction), full VO, then windowed BA + loop-closure pose graph, with
@@ -452,30 +503,49 @@ def main() -> None:
             extraction_batch=EXTRACT_BATCH, return_features=True)
         res_b, acc_b, drift_b, _ = _score(lgt, lposes, ldiag)
 
+        lcc = LoopClosureConfig(min_gap=8, radius=10.0)
         t0 = time.perf_counter()
         refined, rinfo = refine_trajectory(
             lposes, lfeats.kp, lfeats.desc, lfeats.valid, lkp3d, jnp.asarray(K),
             diag_promoted=np.asarray(ldiag.promoted_keyframe))
         kfs = rinfo["keyframes"]
+        t_refine_only = time.perf_counter() - t0
+        t1 = time.perf_counter()
         edges = detect_loop_closures(kfs, refined, lfeats.kp, lfeats.desc,
-                                     lfeats.valid, lkp3d, K,
-                                     LoopClosureConfig(min_gap=8, radius=10.0))
-        closed, _ = optimize_with_loops(refined, kfs, edges)
+                                     lfeats.valid, lkp3d, K, lcc)
+        t_detect = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        closed, _ = optimize_with_loops(refined, kfs, edges, lcc)
+        t_pgo = time.perf_counter() - t1
         refine_wall = time.perf_counter() - t0
         res_a, _, drift_a, _ = _score(lgt, closed, ldiag)
         if not (np.isfinite(drift_a) and np.isfinite(res_a.seg_trans_err_pct)):
             raise ValueError(f"non-finite refined trajectory (drift {drift_a})")
 
+        rtiming = rinfo.get("timing", {})
         refine_block = {
             "refine_frames": int(LF),
             "refine_wall_s": round(refine_wall, 2),
+            "refine_wall_breakdown_s": {
+                "pair_match": round(rtiming.get("match_s", 0.0), 2),
+                "ba_solves": round(rtiming.get("ba_s", 0.0), 2),
+                "host_glue": round(rtiming.get("host_s", 0.0), 2),
+                "loop_detect": round(t_detect, 2),
+                "pgo": round(t_pgo, 2),
+            },
             "refine_keyframes": int(len(kfs)),
             "refine_loop_edges": int(len(edges)),
             "refine_final_drift_before_m": round(drift_b, 3),
             "refine_final_drift_after_m": round(drift_a, 3),
             "refine_seg_trans_before_pct": round(float(res_b.seg_trans_err_pct), 3),
             "refine_seg_trans_after_pct": round(float(res_a.seg_trans_err_pct), 3),
-            "refined_better": bool(len(edges) >= 1 and drift_a < drift_b),
+            # Both metrics must hold: endpoint closure AND segment accuracy —
+            # r04 closed the loop while degrading seg translation 63% (VERDICT
+            # weak #2); a refinement layer must not trade one for the other.
+            "refined_better": bool(
+                len(edges) >= 1 and drift_a < drift_b
+                and float(res_a.seg_trans_err_pct)
+                <= float(res_b.seg_trans_err_pct) * 1.05),
         }
     except Exception as e:
         print(f"WARNING: refine bench failed: {e!r}", file=sys.stderr)
@@ -526,6 +596,14 @@ def main() -> None:
             round(float(stereo_res.seg_rot_err_deg_per_100m), 3)
             if stereo_res else None),
         "stereo_accept_rate": round(stereo_accept, 3) if stereo_accept else None,
+        "adv_accept_rate": round(adv_accept, 3) if adv_accept is not None else None,
+        "adv_trajectory_sane": adv_sane,
+        "adv_seg_trans_err_pct": (round(float(adv_res.seg_trans_err_pct), 3)
+                                  if adv_res else None),
+        "adv_seg_rot_err_deg_100m": (round(float(adv_res.seg_rot_err_deg_per_100m), 3)
+                                     if adv_res else None),
+        "adv_pose_holds": adv_holds,
+        "adv_keyframe_promotions": adv_promos,
         **(refine_block or {"refined_better": None}),
         "device": str(jax.devices()[0]),
     }))
