@@ -126,6 +126,59 @@ class TestPairSources:
         assert mk.sum() > 0.8 * mask.sum()
         assert _corr_at_flow(i1, i2, af, mk) > 0.95
 
+    def test_style_transfer_pairs(self, tmp_path, rng):
+        """Aachen day-night catalog shape: '<tag>.jpg.st_x.jpg' pairs against the
+        db image with stem '<tag>' (aachen.py:50-73)."""
+        from PIL import Image
+
+        from vo_tpu.train.datasets import StyleTransferPairs
+
+        db = tmp_path / "db"
+        st = tmp_path / "style_transfer"
+        db.mkdir()
+        st.mkdir()
+        img = rng.uniform(0, 255, (48, 64)).astype(np.uint8)
+        Image.fromarray(img).save(db / "1024.jpg")
+        Image.fromarray(255 - img).save(st / "1024.jpg.st_night_ref7.jpg")
+        Image.fromarray(img).save(st / "9999.jpg.st_x.jpg")  # no matching db tag
+
+        src = StyleTransferPairs(ImageFolder(str(db)), str(st))
+        assert len(src) == 1
+        i1, i2, af, mk = src.get_pair(0)
+        assert i1.shape == i2.shape == (48, 64) and mk.all()
+        # identity aflow, pixel-aligned restyled content (here: inverted)
+        assert _corr_at_flow(i1, 255.0 - i2, af, mk) > 0.99
+
+    def test_flow_dir_pairs(self, tmp_path, rng):
+        """Aachen optical-flow catalog shape: flow/<tagA>_<tagB>.png (RELATIVE x16
+        int16 flow) + mask/ resolving tags by filename stem (aachen.py:79-146)."""
+        from PIL import Image
+
+        from vo_tpu.train.datasets import FlowDirPairs
+
+        imgs = tmp_path / "images"
+        root = tmp_path / "optical_flow"
+        imgs.mkdir()
+        (root / "flow").mkdir(parents=True)
+        (root / "mask").mkdir()
+        img1 = rng.uniform(0, 255, (48, 64)).astype(np.float32)
+        shift = 5
+        img2 = np.roll(img1, shift, axis=1)
+        Image.fromarray(img1.astype(np.uint8)).save(imgs / "100.jpg")
+        Image.fromarray(img2.astype(np.uint8)).save(imgs / "200.jpg")
+        rel = np.zeros((48, 64, 2), np.float32)
+        rel[..., 0] = shift                      # relative flow, reference format
+        flow_to_png(rel, str(root / "flow" / "100_200.png"))
+        gx = np.mgrid[0:48, 0:64][1]
+        Image.fromarray(((gx < 64 - shift) * 255).astype(np.uint8)).save(
+            root / "mask" / "100_200.png")
+
+        src = FlowDirPairs(ImageFolder(str(imgs)), str(root))
+        assert len(src) == 1
+        i1, i2, af, mk = src.get_pair(0)
+        assert mk.sum() > 0                       # masked to the valid overlap
+        assert _corr_at_flow(i1, i2, af, mk) > 0.95
+
     def test_cat_pairs(self, tmp_path):
         folder = ImageFolder(_image_dir(tmp_path))
         a, b = StillPairs(folder, 160), SyntheticHomographyPairs(folder, 160)

@@ -89,6 +89,10 @@ def main(argv=None) -> int:
                     help=f"image folder (default: {_REFERENCE_IMGS} if present)")
     ap.add_argument("--out", default="RETRAIN_PARITY.json")
     ap.add_argument("--skip-ported", action="store_true")
+    ap.add_argument("--sampler", choices=("grid", "ngh"), default="ngh",
+                    help="AP-loss sampler; ngh = NghSampler2-style ring "
+                         "positives/negatives + distractors (sampler.py:252-382)")
+    ap.add_argument("--lr-schedule", choices=("const", "cosine"), default="cosine")
     args = ap.parse_args(argv)
 
     data_dir = args.data_dir
@@ -105,12 +109,15 @@ def main(argv=None) -> int:
     from vo_tpu.train.pairs import photometric_augment_batch
 
     spec = FAST_QUAD_L2NET_CONFCFS
-    cfg = TrainConfig(batch=args.batch, height=args.crop, width=args.crop, lr=args.lr)
+    cfg = TrainConfig(batch=args.batch, height=args.crop, width=args.crop, lr=args.lr,
+                      sampler=args.sampler, lr_schedule=args.lr_schedule,
+                      total_steps=args.steps, warmup_steps=min(200, args.steps // 10))
     eval_images = load_eval_images(data_dir)
     print(f"[parity] eval batch {eval_images.shape}, data_dir={data_dir}")
 
     report: dict = {"steps": args.steps, "batch": args.batch, "crop": args.crop,
                     "lr": args.lr, "arch": spec.name, "data_dir": data_dir,
+                    "sampler": args.sampler, "lr_schedule": args.lr_schedule,
                     "eval_images": int(eval_images.shape[0]), "curve": []}
 
     # Ported published weights through the identical harness (the 0.6+ yardstick).

@@ -39,15 +39,20 @@ def real_image_batches(args, cfg, steps: int, prefetch: int = 4):
     import queue
     import threading
 
-    from vo_tpu.train.datasets import (CatPairs, FlowPairs, ImageFolder,
-                                       RandomWindowPairLoader, StillPairs,
+    from vo_tpu.train.datasets import (CatPairs, FlowDirPairs, FlowPairs,
+                                       ImageFolder, RandomWindowPairLoader,
+                                       StillPairs, StyleTransferPairs,
                                        SyntheticHomographyPairs,
                                        WindowLoaderConfig)
 
-    folder = ImageFolder(args.data_dir)
+    folder = ImageFolder(args.data_dir, select=getattr(args, "select", "") or "")
     sources = [StillPairs(folder), SyntheticHomographyPairs(folder)]
     if args.flow_pairs:
         sources.append(FlowPairs(args.flow_pairs))
+    if getattr(args, "style_pairs", None):
+        sources.append(StyleTransferPairs(folder, args.style_pairs))
+    if getattr(args, "flow_dir", None):
+        sources.append(FlowDirPairs(folder, args.flow_dir))
     loader = RandomWindowPairLoader(
         CatPairs(*sources),
         WindowLoaderConfig(crop=cfg.height, seed=cfg.seed))
@@ -92,6 +97,17 @@ def main(argv=None) -> int:
                          "random-window loader (default: on-device synthetic pairs)")
     ap.add_argument("--flow-pairs", default=None,
                     help="FlowPairs root (pairs.txt + stored aflow) added to the mix")
+    ap.add_argument("--style-pairs", default=None,
+                    help="folder of '<tag>.<ext>.st_*' restyled images paired "
+                         "against --data-dir by filename tag (Aachen day-night "
+                         "style-transfer catalog, aachen.py:50-73)")
+    ap.add_argument("--flow-dir", default=None,
+                    help="root with flow/<tagA>_<tagB>.png + mask/ resolving tags "
+                         "against --data-dir (Aachen optical-flow catalog, "
+                         "aachen.py:79-146)")
+    ap.add_argument("--select", default=None,
+                    help="path-component filter for --data-dir (e.g. 'db day "
+                         "night', aachen.py:16-28)")
     ap.add_argument("--photometric", action="store_true", default=True)
     args = ap.parse_args(argv)
 

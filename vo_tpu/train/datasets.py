@@ -182,6 +182,106 @@ class FlowPairs:
         return img1, img2, aflow, mask & np.isfinite(aflow).all(-1)
 
 
+class StyleTransferPairs:
+    """Day-night style-transfer pair catalog — the AachenPairs_StyleTransferDayNight
+    role (aachen.py:50-73): a folder of restyled images named
+    ``<tag>.<ext>.st_<anything>`` is paired against the database image whose
+    filename stem is ``<tag>``. Pairs are pixel-aligned (style transfer preserves
+    geometry), so the aflow is identity over img1 — StillPairDataset semantics.
+    """
+
+    def __init__(self, db: ImageFolder, st_root: str, max_side: int = 640):
+        self.db = db
+        self.st_root = st_root
+        self.max_side = max_side
+        tag_of = {}
+        for j, p in enumerate(db.paths):
+            tag_of.setdefault(os.path.splitext(os.path.basename(p))[0], j)
+        self.pairs = []       # (db index, restyled path)
+        for f in sorted(os.listdir(st_root)):
+            if ".st_" not in f:
+                continue
+            tag = os.path.splitext(f.split(".st_")[0])[0]
+            if tag in tag_of:
+                self.pairs.append((tag_of[tag], os.path.join(st_root, f)))
+        if not self.pairs:
+            raise FileNotFoundError(f"no '<tag>.<ext>.st_*' files under {st_root!r} "
+                                    "matching the database images")
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def get_pair(self, i: int):
+        from PIL import Image
+
+        j, st_path = self.pairs[i]
+        img1 = self.db.load_gray(j, self.max_side)
+        H, W = img1.shape
+        with Image.open(st_path) as im:
+            im = im.convert("L")
+            if im.size != (W, H):   # keep the pair pixel-aligned
+                im = im.resize((W, H), Image.BILINEAR)
+            img2 = np.asarray(im, np.float32)
+        gy, gx = np.mgrid[0:H, 0:W]
+        aflow = np.stack([gx, gy], -1).astype(np.float32)
+        return img1, img2, aflow, np.ones((H, W), bool)
+
+
+class FlowDirPairs:
+    """Optical-flow pair catalog in the reference's directory layout — the
+    AachenPairs_OpticalFlow role (aachen.py:79-146): ``root/flow/<tagA>_<tagB>.png``
+    holds the RELATIVE flow from image tagA to tagB (x16 int16 PNG), with a matching
+    validity mask at ``root/mask/<tagA>_<tagB>.png``; tags resolve to images by
+    filename stem. Emitted aflow is absolute (flow + pixel grid), matching the
+    reference's ``meta['aflow']`` (aachen.py:131-133) and FlowPairs' contract.
+    """
+
+    def __init__(self, images: ImageFolder, root: str):
+        self.images = images
+        self.root = root
+        tag_of = {}
+        for j, p in enumerate(images.paths):
+            tag_of.setdefault(os.path.splitext(os.path.basename(p))[0], j)
+        flow_dir = os.path.join(root, "flow")
+        mask_dir = os.path.join(root, "mask")
+        flows = {f for f in os.listdir(flow_dir) if f.endswith(".png")}
+        masks = (set(os.listdir(mask_dir)) if os.path.isdir(mask_dir) else set())
+        self.pairs = []       # (idx_a, idx_b, flow path, mask path | None)
+        for f in sorted(flows):
+            parts = f[:-4].split("_")
+            if len(parts) != 2 or parts[0] not in tag_of or parts[1] not in tag_of:
+                continue
+            self.pairs.append((tag_of[parts[0]], tag_of[parts[1]],
+                               os.path.join(flow_dir, f),
+                               os.path.join(mask_dir, f) if f in masks else None))
+        if not self.pairs:
+            raise FileNotFoundError(f"no resolvable '<tagA>_<tagB>.png' flows under "
+                                    f"{flow_dir!r}")
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def get_pair(self, i: int):
+        from PIL import Image
+
+        ja, jb, flow_path, mask_path = self.pairs[i]
+        img1 = self.images.load_gray(ja)
+        img2 = self.images.load_gray(jb)
+        flow = png_to_flow(flow_path)
+        H, W = flow.shape[:2]
+        assert (H, W) == img1.shape, (
+            f"flow {flow_path!r} is {(H, W)}, image 1 is {img1.shape}")
+        gy, gx = np.mgrid[0:H, 0:W]
+        aflow = (flow + np.stack([gx, gy], -1)).astype(np.float32)
+        if mask_path is not None:
+            mask = np.asarray(Image.open(mask_path)) > 0
+            if mask.ndim == 3:
+                mask = mask.any(-1)
+        else:
+            mask = np.ones((H, W), bool)
+        return img1, img2, aflow, mask & np.isfinite(aflow).all(-1)
+
+
 class CatPairs:
     """Concatenation of pair sources (CatPairDataset, pair_dataset.py:258-287)."""
 

@@ -49,11 +49,17 @@ class TrainConfig:
                                 # (the reference's ColorJitter/PixelNoise transforms)
     sampler: str = "grid"       # "grid" (in-batch negatives) or "ngh" (NghSampler2-style
                                 # ring positives/negatives + distractors, sampler.py:252-382)
+    lr_schedule: str = "const"  # "const" (reference behavior, train.py:124) or
+                                # "cosine" (warmup + cosine decay to 5% — longer
+                                # retrain-parity schedules plateau under constant lr)
+    total_steps: int = 0        # cosine decay horizon (required for lr_schedule="cosine")
+    warmup_steps: int = 0
 
     def __hash__(self):
         return hash((self.batch, self.height, self.width, self.lr, self.weight_decay,
                      self.w_cosim, self.w_peaky, self.w_ap, self.sample_stride,
-                     self.bn_momentum, self.seed, self.photometric, self.sampler))
+                     self.bn_momentum, self.seed, self.photometric, self.sampler,
+                     self.lr_schedule, self.total_steps, self.warmup_steps))
 
 
 class TrainState(NamedTuple):
@@ -63,6 +69,12 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig):
+    if cfg.lr_schedule == "cosine" and cfg.total_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.lr * (0.0 if cfg.warmup_steps else 1.0),
+            peak_value=cfg.lr, warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.total_steps, end_value=cfg.lr * 0.05)
+        return optax.adamw(sched, weight_decay=cfg.weight_decay)
     return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
 
 
