@@ -50,16 +50,26 @@ def optimize_pose_graph(
     poses: jnp.ndarray,        # (N, 4, 4) camera-to-world initial estimates
     edges_ij: jnp.ndarray,     # (E, 2) int32 node indices
     edges_z: jnp.ndarray,      # (E, 4, 4) measured relative transforms T_i^-1 T_j
-    edges_w: jnp.ndarray,      # (E,) scalar information weights (0 disables an edge)
+    edges_w: jnp.ndarray,      # (E,) scalar or (E, 6) per-component information
+                               # weights, twist order [v, w] (0 disables an edge)
     cfg: PoseGraphConfig = PoseGraphConfig(),
     n_nodes: int | None = None,
 ):
-    """Returns (optimized poses (N, 4, 4), per-iteration cost (iters,))."""
+    """Returns (optimized poses (N, 4, 4), per-iteration cost (iters,)).
+
+    ``edges_w`` may be per-edge scalars (isotropic) or per-edge 6-vectors — a
+    diagonal information matrix in the twist frame. Anisotropic weights let
+    odometry edges be stiff in translation (depth-backed VO translation is
+    locally excellent) while soft in rotation where drift actually accrues
+    (turns), so a loop closure distributes its correction where the error is
+    instead of uniformly along the chain.
+    """
     N = n_nodes if n_nodes is not None else poses.shape[0]
     E = edges_ij.shape[0]
     ii = edges_ij[:, 0]
     jj = edges_ij[:, 1]
     z_inv = pose_inverse(edges_z)
+    w6 = edges_w if edges_w.ndim == 2 else edges_w[:, None] * jnp.ones((1, 6))
 
     def residuals(T):
         Ti_inv = pose_inverse(T[ii])
@@ -67,7 +77,7 @@ def optimize_pose_graph(
         return se3_log(z_inv @ rel), rel                      # (E, 6)
 
     def cost_of(e):
-        return jnp.sum(edges_w * jnp.sum(e * e, axis=-1))
+        return jnp.sum(w6 * e * e)
 
     def iteration(carry, _):
         T, damping = carry
@@ -77,7 +87,7 @@ def optimize_pose_graph(
         Jj = jnp.broadcast_to(jnp.eye(6), (E, 6, 6))
         Ji = -adjoint(pose_inverse(rel))
 
-        w = edges_w[:, None, None]
+        w = w6[:, :, None]      # scales residual rows: J^T diag(w6) J
         # Dense block assembly via segment_sum on (i*N + j) block ids.
         Hii = jnp.swapaxes(Ji, -1, -2) @ (w * Ji)
         Hjj = jnp.swapaxes(Jj, -1, -2) @ (w * Jj)

@@ -43,6 +43,13 @@ class RefineConfig:
     max_correction_rot_deg: float = 3.0
     max_correction_t: float = 1.0
     max_cost_per_obs: float = 6.0
+    # Damping on the TRANSLATION component of each window correction. Measured on
+    # the loop workload (r05 sweep): windowed BA's 3-view tracks carry a strong
+    # rotation signal (seg-rot 1.97 -> 0.78 deg/100m) but its translation estimate
+    # wanders relative to depth-backed VO (seg-trans 0.097 -> 0.31%). A correction
+    # T' = [R_c, damp * t_c] keeps the heading fixes (whose lever arm still closes
+    # drift downstream) while trusting VO for local translation.
+    trans_damp: float = 1.0
 
 
 def _select_keyframes(diag_promoted: np.ndarray, n_frames: int,
@@ -107,8 +114,74 @@ def _pair_match(ia, ib, kp, desc, valid, kp3d, kp3d_valid, K, cfg: RefineConfig)
     return idx, mask & np.asarray(pnp.inliers)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _pair_match_kernel(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
+                       kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b, K,
+                       cfg: RefineConfig):
+    """Batched pair verification: match + PnP-RANSAC vmapped over the pair axis."""
+
+    def one(key, da, va, Xa, Xav, kb, db, vb, Xb, Xbv):
+        if cfg.binary_desc:
+            m = ratio_match(da, db, va, vb, ratio=cfg.matcher_ratio,
+                            binary_dim=da.shape[-1])
+        else:
+            m = ratio_mutual_nn_match(da, db, va, vb, ratio=cfg.matcher_ratio)
+        mask = m.mask & Xav
+        pnp = pnp_ransac(key, Xa, kb[m.idx], mask, K,
+                         PnPConfig(n_hypotheses=256, min_inliers=10),
+                         points_3d_cur=Xb[m.idx], valid_cur=Xbv[m.idx])
+        return m.idx, mask & pnp.inliers
+
+    return jax.vmap(one)(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
+                         kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b)
+
+
+def _all_adjacent_pair_matches(rows, kp, desc, valid, kp3d, kp3d_valid, K,
+                               cfg: RefineConfig):
+    """RANSAC-verified matches for every ADJACENT keyframe pair in ONE device
+    dispatch: [(idx (Kp,), mask (Kp,)) for each (rows[i], rows[i+1])].
+
+    Matches depend only on features (never on poses), so precomputing them for the
+    whole keyframe chain is exact — it also halves the work the per-window loop
+    used to duplicate on half-overlapping windows, and collapses ~2 device
+    round-trips per pair into one call (the r04 refine wall-time was dominated by
+    sequential small dispatches on a high-latency device link).
+    """
+    rows = np.asarray(rows)
+    n_pairs = len(rows) - 1
+    if n_pairs <= 0:
+        return []
+    # Fixed chunk size: ONE compile serves any trajectory length (a size-scaled
+    # bucket recompiled the big vmapped kernel whenever the keyframe count crossed
+    # a power of two — ~70 s on the tunnel backend); the handful of extra
+    # dispatches cost only link round-trips.
+    CHUNK = 16
+    kp3d_valid_j = jnp.asarray(kp3d_valid)
+    Kj = jnp.asarray(K)
+    out = []
+    for s in range(0, n_pairs, CHUNK):
+        ra = rows[s:s + CHUNK]
+        rb = rows[s + 1:s + 1 + CHUNK]
+        pad = CHUNK - len(ra)
+        if pad:
+            ra = np.concatenate([ra, np.zeros(pad, rows.dtype)])
+            rb = np.concatenate([rb, np.ones(pad, rows.dtype)])
+        # Same per-pair key derivation as _pair_match for reproducibility.
+        keys = jax.vmap(lambda t: jax.random.fold_in(jax.random.key(8214), t))(
+            jnp.asarray(ra * 10007 + rb, jnp.int32))
+        idx, mask = _pair_match_kernel(
+            keys, desc[ra], valid[ra], kp3d[ra], kp3d_valid_j[ra],
+            kp[rb], desc[rb], valid[rb], kp3d[rb], kp3d_valid_j[rb], Kj, cfg)
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        out.extend((idx[i], mask[i]) for i in range(min(CHUNK, n_pairs - s)))
+    return out
+
+
 def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
-                          cfg: RefineConfig, rows=None):
+                          cfg: RefineConfig, rows=None, pairs=None):
     """One fixed-shape BAProblem with 2-3 view landmark tracks.
 
     Each landmark anchors at keyframe a and is observed in a, a+1 and (when the
@@ -117,6 +190,8 @@ def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
 
     ``rows``: feature-array row of each keyframe (sparse retention); defaults to the
     frame ids themselves.
+    ``pairs``: precomputed (idx, mask) per adjacent pair (window-local index a ->
+    global adjacent pair); computed here when absent.
     """
     P = len(kf_ids)
     rows = np.asarray(kf_ids) if rows is None else np.asarray(rows)
@@ -124,9 +199,12 @@ def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
     per_anchor = M // 3
     L = max((P - 1) * per_anchor, 1)
 
-    pair = {a: _pair_match(rows[a], rows[a + 1], kp, desc, valid, kp3d,
-                           kp3d_valid, K, cfg)
-            for a in range(P - 1)}
+    if pairs is None:
+        pair = {a: _pair_match(rows[a], rows[a + 1], kp, desc, valid, kp3d,
+                               kp3d_valid, K, cfg)
+                for a in range(P - 1)}
+    else:
+        pair = pairs
 
     obs_lm = np.zeros((P, M), np.int32)
     obs_uv = np.zeros((P, M, 2), np.float32)
@@ -212,17 +290,31 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
         row_of[feat_rows] = np.arange(len(feat_rows))
         kfs = _select_keyframes(diag_promoted, F, allowed=feat_rows)
 
+    import time as _time
+
     refined = poses.copy()
     infos = []
+    timing = {"match_s": 0.0, "ba_s": 0.0, "host_s": 0.0}
+    t_start = _time.perf_counter()
+    # All adjacent-pair matches in one batched dispatch (exact: matches are
+    # pose-independent), then each window slices its pairs out of the list.
+    t0 = _time.perf_counter()
+    all_pairs = _all_adjacent_pair_matches(row_of[kfs], kp, desc, valid, kp3d,
+                                           kp3d_valid, K, cfg)
+    timing["match_s"] = _time.perf_counter() - t0
     step = max(cfg.window // 2, 1)
     for start in range(0, max(len(kfs) - 1, 1), step):
         ids = kfs[start:start + cfg.window]
         if len(ids) < 3:
             break
         prob = _build_window_problem(ids, refined, kp, desc, valid, kp3d,
-                                     kp3d_valid, K, cfg, rows=row_of[ids])
+                                     kp3d_valid, K, cfg, rows=row_of[ids],
+                                     pairs={a: all_pairs[start + a]
+                                            for a in range(len(ids) - 1)})
+        t0 = _time.perf_counter()
         T_cw_opt, _, info = bundle_adjust(prob, cfg.ba)
         T_wc_opt = np.asarray(pose_inverse(T_cw_opt))
+        timing["ba_s"] += _time.perf_counter() - t0
         window_info = {k: float(np.asarray(v)) for k, v in info.items()
                        if np.asarray(v).ndim == 0}
         n_obs = int(np.asarray(prob.obs_valid).sum())
@@ -240,6 +332,9 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
         # Trust gates (see RefineConfig): reject implausibly large corrections and
         # windows whose post-fit residual says they converged onto outliers.
         corr = T_wc_opt @ np.linalg.inv(refined[ids])       # (P, 4, 4)
+        if cfg.trans_damp != 1.0:
+            corr = corr.copy()
+            corr[:, :3, 3] *= cfg.trans_damp
         tr = np.clip(0.5 * (np.einsum("pii->p", corr[:, :3, :3]) - 1.0), -1.0, 1.0)
         max_rot = float(np.degrees(np.arccos(tr)).max())
         max_t = float(np.linalg.norm(corr[:, :3, 3], axis=1).max())
@@ -257,4 +352,6 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
         f0 = int(ids[0])
         j_of = np.searchsorted(ids, np.arange(f0, F), side="right") - 1
         refined[f0:] = np.einsum("fij,fjk->fik", corr[j_of], refined[f0:])
-    return refined, {"windows": infos, "keyframes": kfs}
+    timing["host_s"] = (_time.perf_counter() - t_start
+                        - timing["match_s"] - timing["ba_s"])
+    return refined, {"windows": infos, "keyframes": kfs, "timing": timing}
