@@ -99,6 +99,7 @@ class TestShardedExtraction:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_entry_and_dryrun(self):
         import __graft_entry__ as g
 

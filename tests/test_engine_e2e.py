@@ -31,6 +31,7 @@ def synth_run():
     return poses, diag, traj_gt
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_trajectory_close_to_gt(self, synth_run):
         poses, diag, gt = synth_run

@@ -10,6 +10,7 @@ from vo_tpu.features import OrbLikeExtractor
 from vo_tpu.matching import ratio_match, matches_to_pairs
 from vo_tpu.utils.synthetic import render_sequence
 from tests.test_features_matching import make_textured_image
+import pytest
 
 K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
 
@@ -27,6 +28,7 @@ def test_gradhist_matches_shifted_pair(rng):
     assert np.allclose(np.median(flow, axis=0), [dx, dy], atol=1.0)
 
 
+@pytest.mark.slow
 def test_gradhist_vo_e2e():
     imgs, deps, gt = render_sequence(12, K, H=240, W=320, step=0.8, yaw_rate=0.01)
     cfg = VOConfig(matcher="ratio_float", ratio=0.85, kf_min_matches=60,

@@ -19,6 +19,7 @@ from vo_tpu.utils.synthetic import render_sequence
 K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
 
 
+@pytest.mark.slow
 class TestLoopClosure:
     def test_closes_a_drifted_loop(self, rng):
         # Full circle: end of the trajectory revisits the start.
@@ -119,6 +120,7 @@ class TestLoopClosure:
 
 
 class TestStreamingPipeline:
+    @pytest.mark.slow
     def test_matches_in_memory_path(self):
         F = 10
         imgs, deps, gt = render_sequence(F, K, H=240, W=320, step=0.8)
@@ -298,6 +300,7 @@ def _write_sequence_dir(tmp_path, imgs, deps):
 
 
 class TestRunnerCLI:
+    @pytest.mark.slow
     def test_vo_run_with_refine_and_viz(self, tmp_path):
         from vo_tpu.runners import vo_run
 

@@ -9,10 +9,12 @@ from vo_tpu.engine.pipeline import run_offline_vo
 from vo_tpu.estimation import PnPConfig
 from vo_tpu.features import OrbLikeExtractor
 from vo_tpu.utils.synthetic import render_sequence
+import pytest
 
 K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
 
 
+@pytest.mark.slow
 def test_online_matches_offline():
     imgs, deps, gt = render_sequence(8, K, H=240, W=320, step=0.8, yaw_rate=0.01)
     cfg = VOConfig(matcher="ratio_binary", kf_min_matches=60, kf_min_inliers=30,

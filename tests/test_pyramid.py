@@ -48,6 +48,7 @@ def _mma3(ex, img, Hm):
 
 
 class TestPyramidScaleInvariance:
+    @pytest.mark.slow
     def test_brief_pyramid_beats_single_scale_under_zoom(self, image):
         single = OrbLikeExtractor(max_kp=512)
         pyr = MultiScaleClassicExtractor(max_kp=512, n_scales=4)

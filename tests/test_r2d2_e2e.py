@@ -19,6 +19,7 @@ pytestmark = pytest.mark.skipif(not _HAVE_REF_MODELS,
 K = np.array([[200.0, 0.0, 120.0], [0.0, 200.0, 90.0], [0.0, 0.0, 1.0]], np.float32)
 
 
+@pytest.mark.slow
 def test_r2d2_vo_tracks_synthetic_drive():
     from vo_tpu.models.r2d2_extractor import R2D2Extractor
 

@@ -13,6 +13,37 @@ from vo_tpu.utils.synthetic import render_sequence
 K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
 
 
+@pytest.mark.slow
+def test_global_refinement_reduces_pose_error(rng):
+    """One global BA over the whole keyframe chain (refine_trajectory_global) must
+    also fix an accumulated-drift trajectory — same setup as the windowed test."""
+    from vo_tpu.engine.refine import refine_trajectory_global
+
+    imgs, deps, gt = render_sequence(12, K, H=240, W=320, step=0.8, yaw_rate=0.01)
+    ex = OrbLikeExtractor(max_kp=512)
+    feats, kp3d = extract_and_backproject(ex, jnp.asarray(imgs), jnp.asarray(deps),
+                                          jnp.asarray(K))
+    noisy = gt.copy()
+    for i in range(1, len(gt)):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        dw = rng.normal(0, 0.003, 3).astype(np.float32)
+        dt = rng.normal(0, 0.02, 3).astype(np.float32)
+        dT = np.asarray(pose_from_rt(so3_exp(jnp.asarray(dw[None]))[0],
+                                     jnp.asarray(dt)))
+        noisy[i] = noisy[i - 1] @ (rel @ dT)
+
+    refined, info = refine_trajectory_global(
+        noisy, feats.kp, feats.desc, feats.valid, kp3d, K,
+        cfg=RefineConfig(obs_per_pose=192))
+    assert not info.get("skipped"), info
+    assert info["n_obs"] > 100
+
+    eb = np.linalg.norm(noisy[:, :3, 3] - gt[:, :3, 3], axis=1)
+    ea = np.linalg.norm(refined[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert ea.mean() < 0.7 * eb.mean(), (eb.mean(), ea.mean())
+
+
+@pytest.mark.slow
 def test_refinement_reduces_pose_error(rng):
     imgs, deps, gt = render_sequence(12, K, H=240, W=320, step=0.8, yaw_rate=0.01)
     ex = OrbLikeExtractor(max_kp=512)

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from vo_tpu.features import OrbLikeExtractor
 from vo_tpu.features.stereo import stereo_depth_at
 from vo_tpu.utils.synthetic import render_rgbd, drive_trajectory
+import pytest
 
 K = np.array([[300.0, 0.0, 160.0], [0.0, 300.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
 BASELINE = 0.54
@@ -47,6 +48,7 @@ def test_invalid_on_textureless():
     assert not np.asarray(ok).any()
 
 
+@pytest.mark.slow
 def test_stereo_vo_trajectory_end_to_end():
     """Full STEREO VO: render left+right eyes of the synthetic world (baseline
     0.54 m, KITTI-like), measure depth by ZNCC block matching at the detected

@@ -100,6 +100,7 @@ class TestLosses:
                                             flow, mask))
         assert good < bad
 
+    @pytest.mark.slow
     def test_ngh_sampler_trains(self):
         cfg = TrainConfig(batch=2, height=96, width=96, sampler="ngh")
         spec = FAST_QUAD_L2NET_CONFCFS
@@ -140,6 +141,7 @@ class TestGradThroughEverySpec:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_on_fixed_batch(self):
         # Same key every step -> same pair batch -> loss must strictly improve.
         cfg = TrainConfig(batch=2, height=96, width=96)
