@@ -244,6 +244,7 @@ class TestRandomWindowLoader:
 
 
 class TestRealImageTraining:
+    @pytest.mark.slow
     def test_loss_decreases_on_real_images(self, tmp_path):
         """Short real-image training run: the full pipeline (window loader ->
         photometric -> train_step_batch) must reduce the loss from init."""

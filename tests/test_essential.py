@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from vo_tpu.estimation import EssentialConfig, essential_ransac, relative_scale
 from vo_tpu.geometry import so3_exp, pose_from_rt, transform_points, project
+import pytest
 
 K = np.array([[700.0, 0.0, 320.0], [0.0, 700.0, 240.0], [0.0, 0.0, 1.0]], np.float32)
 
@@ -28,6 +29,7 @@ def two_view_scene(rng, n=400, rot=(0.01, 0.05, 0.0), trans=(0.6, 0.05, 0.3),
 
 
 class TestEssential:
+    @pytest.mark.slow
     def test_recovers_rotation_and_translation_direction(self, rng):
         # Representative driving geometry: decent parallax, 20% gross outliers.
         X, uv1, uv2, valid, T_true, out = two_view_scene(

@@ -142,6 +142,7 @@ class TestStreamingPipeline:
         assert feats.kp.shape[0] == F and kp3d.shape[0] == F
         assert np.array_equal(rows, np.arange(F))
 
+    @pytest.mark.slow
     def test_sparse_retention_keeps_keyframes(self):
         """retain='sparse' keeps promoted keyframes + every 4th frame + endpoints,
         and the kept rows carry the same features as the full run."""

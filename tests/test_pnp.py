@@ -35,6 +35,7 @@ def make_scene(rng, n=512, rot=(0.01, 0.03, 0.005), trans=(0.3, 0.05, 1.0),
 
 
 class TestPnP:
+    @pytest.mark.slow
     def test_recovers_pose_with_outliers(self, rng):
         X, uv, valid, T_true, out_idx = make_scene(rng)
         res = pnp_ransac(jax.random.key(0), jnp.asarray(X), jnp.asarray(uv),

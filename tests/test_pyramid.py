@@ -108,6 +108,7 @@ class TestDoGResponse:
 
 
 class TestPyramidContract:
+    @pytest.mark.slow
     def test_features_shape_and_pipeline(self, image):
         from vo_tpu.engine.pipeline import extract_and_backproject
 

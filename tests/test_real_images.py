@@ -103,6 +103,7 @@ def _relative_poses():
 
 
 class TestRealImagePipeline:
+    @pytest.mark.slow
     def test_pose_recovery_on_real_photos(self):
         """extract->match->PnP->chain on >= 3 real photographs recovers the known
         camera motion (translation within 5 cm at 5 m scene depth, rotation within
@@ -151,6 +152,7 @@ class TestRealImagePipeline:
 
 
 class TestRealImageTrajectory:
+    @pytest.mark.slow
     def test_multiframe_trajectory_on_real_photo(self):
         """A short TRAJECTORY over a real photograph: 8 views of the photo plane
         along a known camera path through the full VO engine (keyframe promotion

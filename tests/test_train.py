@@ -156,6 +156,7 @@ class TestTrainStep:
         assert losses[-1] < losses[0], losses
         assert int(state.step) == 8
 
+    @pytest.mark.slow
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = TrainConfig(batch=2, height=96, width=96)
         spec = FAST_QUAD_L2NET_CONFCFS

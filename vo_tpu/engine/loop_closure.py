@@ -19,15 +19,11 @@ Wired into the product path via ``vo_tpu.runners.vo_run --refine`` (after window
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vo_tpu.ba.pose_graph import PoseGraphConfig, optimize_pose_graph
-from vo_tpu.estimation.pnp import PnPConfig, pnp_ransac
-from vo_tpu.matching.matchers import ratio_match, ratio_mutual_nn_match
 
 
 @dataclass(frozen=True)
@@ -53,43 +49,20 @@ class LoopClosureConfig:
     binary_desc: bool = True
     odo_weight: float = 1.0
     loop_weight: float = 20.0    # loop edges trusted over accumulated odometry
-    # Anisotropic turn-aware odometry information (0 = legacy isotropic scalars).
-    # VO's depth-backed translation is locally excellent while heading drift
-    # accrues where the camera rotates; with ``odo_trans_stiffness`` > 0 the
-    # odometry edges get per-component weights — translation components stiffened
-    # by that factor, rotation components softened by 1/(1 + (angle/turn_soft)^2)
-    # — so the pose graph concentrates a loop closure's correction at the turns
-    # that caused the drift instead of spreading it over accurate straightaways
-    # (the r04 regression: endpoint closed, 100 m segment accuracy degraded 63%).
-    odo_trans_stiffness: float = 0.0
-    turn_soft_rad: float = 0.05  # per-edge rotation angle at which softening kicks in
+    # Anisotropic odometry information (1/1/0 = legacy isotropic scalars).
+    # Per-component [v, w] weights on odometry edges: translation components get
+    # odo_weight * odo_trans_info, rotation components odo_weight * odo_rot_info,
+    # optionally softened by 1/(1 + (angle/turn_soft_rad)^2) at turning edges.
+    # Measured rationale (r05 loop-workload sweep): after rotation-only windowed
+    # BA the heading is good (seg-rot 1.97 -> 0.69 deg/100m) and the remaining
+    # endpoint drift is DIFFUSE translation error — an isotropic pose graph then
+    # closes the loop by rotating nodes (cheapest in its cost), re-injecting the
+    # heading error BA just removed. Rotation-stiff / translation-soft odometry
+    # information makes the closure ride the translation components instead.
+    odo_trans_info: float = 1.0
+    odo_rot_info: float = 1.0
+    turn_soft_rad: float = 0.0   # >0: soften rotation info on turning edges
     pgo: PoseGraphConfig = PoseGraphConfig(iterations=25)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def _verify_pairs(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
-                  kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b, K,
-                  cfg: LoopClosureConfig):
-    """Batched pair verification: match + PnP-RANSAC vmapped over the candidate axis.
-
-    Inputs are (C, ...) gathers of the per-keyframe feature arrays; returns
-    (poses (C, 4, 4) a-cam->b-cam, n_inliers (C,), ok (C,))."""
-
-    def one(key, da, va, Xa, Xav, kb, db, vb, Xb, Xbv):
-        if cfg.binary_desc:
-            m = ratio_match(da, db, va, vb, ratio=cfg.matcher_ratio,
-                            binary_dim=da.shape[-1])
-        else:
-            m = ratio_mutual_nn_match(da, db, va, vb, ratio=cfg.matcher_ratio)
-        mask = m.mask & Xav
-        res = pnp_ransac(
-            key, Xa, kb[m.idx], mask, K,
-            PnPConfig(n_hypotheses=512, min_inliers=cfg.min_inliers),
-            points_3d_cur=Xb[m.idx], valid_cur=Xbv[m.idx])
-        return res.pose, res.n_inliers, res.ok
-
-    return jax.vmap(one)(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
-                         kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b)
 
 
 def detect_loop_closures(kf_ids, poses, kp, desc, valid, kp3d, K,
@@ -139,24 +112,19 @@ def detect_loop_closures(kf_ids, poses, kp, desc, valid, kp3d, K,
     a_idx, b_idx = a_idx[order], b_idx[order]
     C = len(a_idx)
 
-    # Pad to the fixed budget so the jitted verifier compiles once per geometry.
-    pad = cfg.max_candidates - C
-    a_pad = np.concatenate([a_idx, np.zeros(pad, a_idx.dtype)])
-    b_pad = np.concatenate([b_idx, np.zeros(pad, b_idx.dtype)])
-    ra, rb = rows[a_pad], rows[b_pad]
+    # Verification rides the SAME compiled kernel as BA pair matching
+    # (vo_tpu.engine.refine.verify_row_pairs) — one tunnel compile serves the
+    # whole refinement pipeline. The min_inliers gate applies host-side.
+    from vo_tpu.engine.refine import RefineConfig, verify_row_pairs
 
-    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.key(8214), s))(
-        jnp.asarray(kf_ids[a_pad] * 131071 + kf_ids[b_pad], jnp.int32))
-    kp3d_valid_j = jnp.asarray(kp3d_valid)
-    pz, n_in, ok = _verify_pairs(
-        keys, desc[ra], valid[ra], kp3d[ra], kp3d_valid_j[ra],
-        kp[rb], desc[rb], valid[rb], kp3d[rb], kp3d_valid_j[rb],
-        jnp.asarray(K), cfg)
-    pz, n_in, ok = np.asarray(pz), np.asarray(n_in), np.asarray(ok)
+    rcfg = RefineConfig(matcher_ratio=cfg.matcher_ratio,
+                        binary_desc=cfg.binary_desc)
+    _, _, pz, n_in = verify_row_pairs(rows[a_idx], rows[b_idx], kp, desc, valid,
+                                      kp3d, kp3d_valid, K, rcfg)
 
     edges = []
     for c in range(C):
-        if ok[c]:
+        if n_in[c] >= cfg.min_inliers:
             # pnp pose maps a-cam -> b-cam, so the c2w relative edge is its inverse.
             edges.append((int(a_idx[c]), int(b_idx[c]),
                           np.linalg.inv(pz[c]), int(n_in[c])))
@@ -179,15 +147,18 @@ def optimize_with_loops(poses, kf_ids, loop_edges,
     inv_kf = np.linalg.inv(kf_poses)
     edges_ij = [(i, i + 1) for i in range(n - 1)]
     edges_z = list(inv_kf[:-1] @ kf_poses[1:])
-    if cfg.odo_trans_stiffness > 0:
-        # Per-component [v, w] information: stiff translation, turn-softened
-        # rotation (see the config field's rationale).
+    aniso = (cfg.odo_trans_info != 1.0 or cfg.odo_rot_info != 1.0
+             or cfg.turn_soft_rad > 0)
+    if aniso:
+        # Per-component [v, w] information (see the config fields' rationale).
         rel = np.stack(edges_z)
         tr = np.clip(0.5 * (np.einsum("eii->e", rel[:, :3, :3]) - 1.0), -1.0, 1.0)
         ang = np.arccos(tr)
-        w_t = cfg.odo_weight * cfg.odo_trans_stiffness * np.ones(n - 1)
-        w_r = cfg.odo_weight / (1.0 + (ang / cfg.turn_soft_rad) ** 2)
-        edges_w = [np.array([t, t, t, r, r, r]) for t, r in zip(w_t, w_r)]
+        w_t = cfg.odo_weight * cfg.odo_trans_info * np.ones(n - 1)
+        soft = (1.0 / (1.0 + (ang / cfg.turn_soft_rad) ** 2)
+                if cfg.turn_soft_rad > 0 else 1.0)
+        w_r = cfg.odo_weight * cfg.odo_rot_info * soft
+        edges_w = [np.array([t, t, t, r, r, r]) for t, r in zip(w_t, w_r * np.ones(n - 1))]
         loop_w = np.full(6, cfg.loop_weight)
     else:
         edges_w = [cfg.odo_weight] * (n - 1)

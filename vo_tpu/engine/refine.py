@@ -121,7 +121,12 @@ from functools import partial as _partial
 def _pair_match_kernel(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
                        kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b, K,
                        cfg: RefineConfig):
-    """Batched pair verification: match + PnP-RANSAC vmapped over the pair axis."""
+    """Batched pair verification: match + PnP-RANSAC vmapped over the pair axis.
+
+    Returns (idx, inlier mask, pose a-cam->b-cam, n_inliers) — the pose/count
+    outputs let loop-closure detection reuse THIS compiled kernel instead of
+    compiling a second near-identical verifier (one ~25 s tunnel compile saved
+    per cold refinement)."""
 
     def one(key, da, va, Xa, Xav, kb, db, vb, Xb, Xbv):
         if cfg.binary_desc:
@@ -133,7 +138,7 @@ def _pair_match_kernel(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
         pnp = pnp_ransac(key, Xa, kb[m.idx], mask, K,
                          PnPConfig(n_hypotheses=256, min_inliers=10),
                          points_3d_cur=Xb[m.idx], valid_cur=Xbv[m.idx])
-        return m.idx, mask & pnp.inliers
+        return m.idx, mask & pnp.inliers, pnp.pose, pnp.n_inliers
 
     return jax.vmap(one)(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
                          kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b)
@@ -163,21 +168,55 @@ def _all_adjacent_pair_matches(rows, kp, desc, valid, kp3d, kp3d_valid, K,
     Kj = jnp.asarray(K)
     out = []
     for s in range(0, n_pairs, CHUNK):
-        ra = rows[s:s + CHUNK]
-        rb = rows[s + 1:s + 1 + CHUNK]
-        pad = CHUNK - len(ra)
+        k = min(CHUNK, n_pairs - s)
+        ra = rows[s:s + k]
+        rb = rows[s + 1:s + 1 + k]
+        pad = CHUNK - k
         if pad:
             ra = np.concatenate([ra, np.zeros(pad, rows.dtype)])
             rb = np.concatenate([rb, np.ones(pad, rows.dtype)])
         # Same per-pair key derivation as _pair_match for reproducibility.
         keys = jax.vmap(lambda t: jax.random.fold_in(jax.random.key(8214), t))(
             jnp.asarray(ra * 10007 + rb, jnp.int32))
-        idx, mask = _pair_match_kernel(
+        idx, mask, _, _ = _pair_match_kernel(
             keys, desc[ra], valid[ra], kp3d[ra], kp3d_valid_j[ra],
             kp[rb], desc[rb], valid[rb], kp3d[rb], kp3d_valid_j[rb], Kj, cfg)
         idx, mask = np.asarray(idx), np.asarray(mask)
         out.extend((idx[i], mask[i]) for i in range(min(CHUNK, n_pairs - s)))
     return out
+
+
+def verify_row_pairs(rows_a, rows_b, kp, desc, valid, kp3d, kp3d_valid, K,
+                     cfg: RefineConfig):
+    """Chunked batched verification of arbitrary (row_a, row_b) feature pairs.
+
+    Returns (idx (N, Kp), mask (N, Kp), poses (N, 4, 4) a-cam->b-cam,
+    n_inliers (N,)) as numpy. Shared by BA problem building AND loop-closure
+    detection so both ride one compiled kernel."""
+    n = len(rows_a)
+    CHUNK = 16
+    kp3d_valid_j = jnp.asarray(kp3d_valid)
+    Kj = jnp.asarray(K)
+    oi, om, op, on = [], [], [], []
+    for s in range(0, n, CHUNK):
+        k = min(CHUNK, n - s)
+        ra = np.asarray(rows_a[s:s + k])
+        rb = np.asarray(rows_b[s:s + k])
+        pad = CHUNK - k
+        if pad:
+            ra = np.concatenate([ra, np.zeros(pad, ra.dtype)])
+            rb = np.concatenate([rb, np.ones(pad, rb.dtype)])
+        keys = jax.vmap(lambda t: jax.random.fold_in(jax.random.key(8214), t))(
+            jnp.asarray(ra * 10007 + rb, jnp.int32))
+        idx, mask, pose, n_in = _pair_match_kernel(
+            keys, desc[ra], valid[ra], kp3d[ra], kp3d_valid_j[ra],
+            kp[rb], desc[rb], valid[rb], kp3d[rb], kp3d_valid_j[rb], Kj, cfg)
+        oi.append(np.asarray(idx)[:k])
+        om.append(np.asarray(mask)[:k])
+        op.append(np.asarray(pose)[:k])
+        on.append(np.asarray(n_in)[:k])
+    return (np.concatenate(oi), np.concatenate(om), np.concatenate(op),
+            np.concatenate(on))
 
 
 def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
@@ -237,7 +276,11 @@ def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
             continue
 
         Xc = np.asarray(kp3d[ra])[sel]
-        Xw = np.asarray(transform_points(jnp.asarray(Xc), jnp.asarray(poses[ia])))
+        # numpy, not transform_points: a jnp call here is a per-window device
+        # dispatch (~25 ms each on the tunnel — measured as tens of seconds of
+        # "host glue" across a long trajectory's windows)
+        T = np.asarray(poses[ia])
+        Xw = Xc @ T[:3, :3].T + T[:3, 3]
         lm_ids = np.arange(lm_ctr, lm_ctr + n)
         points[lm_ids] = Xw
         lm_ctr += n
@@ -263,6 +306,241 @@ def _build_window_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
     )
 
 
+def _build_global_problem(kf_ids, poses, kp, desc, valid, kp3d, kp3d_valid, K,
+                          cfg: RefineConfig, rows, pairs, loop_pairs,
+                          loop_matches, pose_bucket: int = 32,
+                          lm_bucket: int = 2048):
+    """ONE BAProblem over the whole keyframe chain + loop-closure observations.
+
+    Same 2-3 view adjacent-pair tracks as the window builder, PLUS for every
+    verified loop pair (a, b) a bank of wide-baseline 2-view landmarks anchored at
+    a and re-observed at b — real reprojection measurements across the loop, so
+    closing drift is constrained by data instead of redistributed heuristically
+    (the windowed-BA + isotropic-PGO pipeline closed the loop but degraded 100 m
+    segment accuracy ~2x; see BENCH_r04 and the r05 sweeps).
+
+    Poses and landmarks are padded to buckets (identity poses with no valid
+    observations) so one compile of ``bundle_adjust`` serves any trajectory
+    length on the same feature geometry.
+    """
+    P = len(kf_ids)
+    M = cfg.obs_per_pose
+    per_anchor = M // 3
+    per_loop = min(per_anchor, 64)
+
+    P_pad = -(-max(P, 2) // pose_bucket) * pose_bucket
+    L_raw = (P - 1) * per_anchor + len(loop_pairs) * per_loop
+    L_pad = -(-max(L_raw, 1) // lm_bucket) * lm_bucket
+
+    obs_lm = np.zeros((P_pad, M), np.int32)
+    obs_uv = np.zeros((P_pad, M, 2), np.float32)
+    obs_z = np.zeros((P_pad, M), np.float32)
+    obs_valid = np.zeros((P_pad, M), bool)
+    points = np.zeros((L_pad, 3), np.float32)
+    obs_fill = np.zeros(P_pad, np.int32)
+    lm_ctr = 0
+
+    z_all = np.asarray(kp3d[..., 2])
+    zv_all = np.asarray(kp3d_valid)
+    kp_np = np.asarray(kp)
+
+    def add_obs(p, frame_row, kp_rows, lm_ids):
+        s = obs_fill[p]
+        n = len(lm_ids)
+        obs_lm[p, s:s + n] = lm_ids
+        obs_uv[p, s:s + n] = kp_np[frame_row][kp_rows]
+        obs_z[p, s:s + n] = np.where(zv_all[frame_row][kp_rows],
+                                     z_all[frame_row][kp_rows], 0.0)
+        obs_valid[p, s:s + n] = True
+        obs_fill[p] += n
+
+    def add_anchor(a, b, idx, mask, budget, third=None):
+        """Landmarks anchored at keyframe index a, observed at a and b."""
+        nonlocal lm_ctr
+        sel = np.nonzero(mask)[0]
+        cap = min(budget, M - obs_fill[a], M - obs_fill[b])
+        sel = sel[:max(cap, 0)]
+        n = len(sel)
+        if n == 0:
+            return
+        Xc = np.asarray(kp3d[rows[a]])[sel]
+        T = np.asarray(poses[kf_ids[a]])   # numpy on purpose — see window builder
+        Xw = Xc @ T[:3, :3].T + T[:3, 3]
+        lm_ids = np.arange(lm_ctr, lm_ctr + n)
+        points[lm_ids] = Xw
+        lm_ctr += n
+        add_obs(a, rows[a], sel, lm_ids)
+        add_obs(b, rows[b], idx[sel], lm_ids)
+        if third is not None:
+            c, idx2, mask2 = third
+            hop = idx[sel]
+            ok3 = mask2[hop]
+            n3 = int(ok3.sum())
+            if n3 and obs_fill[c] + n3 <= M:
+                add_obs(c, rows[c], idx2[hop[ok3]], lm_ids[ok3])
+
+    for a in range(P - 1):
+        idx1, mask1 = pairs[a]
+        third = (a + 2, *pairs[a + 1]) if a + 2 < P else None
+        add_anchor(a, a + 1, idx1, mask1, per_anchor, third)
+    for (a, b), (idx, mask) in zip(loop_pairs, loop_matches):
+        add_anchor(a, b, idx, mask, per_loop)
+
+    T_cw = np.broadcast_to(np.eye(4, dtype=np.float32), (P_pad, 4, 4)).copy()
+    T_cw[:P] = np.asarray(pose_inverse(jnp.asarray(poses[kf_ids])))
+    return BAProblem(
+        poses=jnp.asarray(T_cw), points=jnp.asarray(points),
+        obs_lm=jnp.asarray(obs_lm), obs_uv=jnp.asarray(obs_uv),
+        obs_valid=jnp.asarray(obs_valid), K=jnp.asarray(K),
+        obs_z=jnp.asarray(obs_z),
+    )
+
+
+def refine_trajectory_global(poses, kp, desc, valid, kp3d, K,
+                             diag_promoted=None,
+                             cfg: RefineConfig = RefineConfig(),
+                             feat_rows=None, loop_edges=None,
+                             all_pairs=None, kfs=None, row_of=None):
+    """Polish a (loop-closed) trajectory with ONE global bundle adjustment.
+
+    ``loop_edges``: verified loop closures [(a, b, Z, n_inliers), ...] with a, b
+    indices into the keyframe list (detect_loop_closures output); their pair
+    matches become wide-baseline observations in the global problem.
+
+    Returns (refined (F, 4, 4), info). Designed to run on an already
+    roughly-consistent initialization (VO, or VO + pose-graph closure): loop
+    observation residuals must start within the Huber basin.
+    """
+    import time as _time
+
+    poses = np.asarray(poses)
+    F = poses.shape[0]
+    kp = np.asarray(kp)
+    valid = np.asarray(valid)
+    kp3d = np.asarray(kp3d)
+    z = kp3d[..., 2]
+    kp3d_valid = valid & (z > 0.1) & (z < 80.0)
+
+    if diag_promoted is None:
+        diag_promoted = np.zeros(F - 1, bool)
+    if row_of is None:
+        if feat_rows is None:
+            row_of = np.arange(F)
+            if kfs is None:
+                kfs = _select_keyframes(diag_promoted, F)
+        else:
+            feat_rows = np.asarray(feat_rows)
+            row_of = np.full(F, -1, np.int64)
+            row_of[feat_rows] = np.arange(len(feat_rows))
+            if kfs is None:
+                kfs = _select_keyframes(diag_promoted, F, allowed=feat_rows)
+    rows = row_of[kfs]
+
+    timing = {}
+    t0 = _time.perf_counter()
+    if all_pairs is None:
+        all_pairs = _all_adjacent_pair_matches(rows, kp, desc, valid, kp3d,
+                                               kp3d_valid, K, cfg)
+    loop_edges = loop_edges or []
+    loop_pairs = [(a, b) for a, b, _, _ in loop_edges]
+    if loop_pairs:
+        la = rows[np.asarray([a for a, _ in loop_pairs])]
+        lb = rows[np.asarray([b for _, b in loop_pairs])]
+        loop_matches = _loop_pair_matches(la, lb, kp, desc, valid, kp3d,
+                                          kp3d_valid, K, cfg)
+    else:
+        loop_matches = []
+    timing["match_s"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    prob = _build_global_problem(kfs, poses, kp, desc, valid, kp3d, kp3d_valid,
+                                 K, cfg, rows, all_pairs, loop_pairs,
+                                 loop_matches)
+    timing["build_s"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    T_cw_opt, _, info = bundle_adjust(prob, cfg.ba)
+    P = len(kfs)
+    T_wc_opt = np.asarray(pose_inverse(T_cw_opt))[:P]
+    timing["ba_s"] = _time.perf_counter() - t0
+
+    out_info = {"keyframes": kfs, "timing": timing,
+                "n_obs": int(np.asarray(prob.obs_valid).sum()),
+                "n_loop_pairs": len(loop_pairs),
+                "final_cost": float(np.asarray(info["final_cost"]))}
+    if not np.isfinite(T_wc_opt).all():
+        out_info["skipped"] = True
+        return poses.copy(), out_info
+
+    corr = T_wc_opt @ np.linalg.inv(poses[kfs])
+    tr = np.clip(0.5 * (np.einsum("pii->p", corr[:, :3, :3]) - 1.0), -1.0, 1.0)
+    out_info["max_corr_rot_deg"] = float(np.degrees(np.arccos(tr)).max())
+    out_info["max_corr_t_m"] = float(np.linalg.norm(corr[:, :3, 3], axis=1).max())
+    if (out_info["max_corr_rot_deg"] > cfg.max_correction_rot_deg
+            or out_info["max_corr_t_m"] > cfg.max_correction_t):
+        out_info["skipped"] = True
+        return poses.copy(), out_info
+
+    refined = poses.copy()
+    j_of = np.clip(np.searchsorted(kfs, np.arange(F), side="right") - 1, 0, P - 1)
+    refined = np.einsum("fij,fjk->fik", corr[j_of], refined)
+    return refined, out_info
+
+
+def _loop_pair_matches(rows_a, rows_b, kp, desc, valid, kp3d, kp3d_valid, K,
+                       cfg: RefineConfig):
+    """Batched matches for arbitrary (a, b) row pairs — same kernel as the
+    adjacent-pair path."""
+    idx, mask, _, _ = verify_row_pairs(rows_a, rows_b, kp, desc, valid, kp3d,
+                                       kp3d_valid, K, cfg)
+    return [(idx[i], mask[i]) for i in range(len(rows_a))]
+
+
+def refine_full(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
+                cfg: RefineConfig = None, feat_rows=None, loop_cfg=None):
+    """The product refinement pipeline, chosen by measurement (r05 sweeps on the
+    240-frame loop workload):
+
+    1. Windowed BA with ROTATION-ONLY corrections (``trans_damp=0``): the 3-view
+       tracks carry a strong heading signal (seg-rot 1.97 -> 0.75 deg/100m) and
+       rotation-only application leaves the depth-backed VO translations — which
+       BA's own translation estimate cannot beat — untouched (seg-trans stays at
+       the odometry's 0.096%, vs 0.31% when translations were applied).
+    2. Loop detection + ROTATION-STIFF pose-graph closure
+       (``odo_rot_info=1000``): closes endpoint drift 0.84 m -> 0.02 m through
+       the translation components only, so the heading BA just fixed is not bent
+       by redistribution (isotropic PGO pushed seg-rot back to 2.3).
+
+    The closure's translation redistribution costs some 100 m segment-translation
+    accuracy (0.096 -> ~0.19% here) — intrinsic to closing diffuse drift — so the
+    odometry-accurate stage-1 trajectory is returned in
+    ``info["refined_odometry"]`` alongside the globally-consistent result, the
+    same two-trajectory contract SLAM systems expose.
+
+    Returns (closed (F, 4, 4), info dict).
+    """
+    from vo_tpu.engine.loop_closure import (LoopClosureConfig,
+                                            detect_loop_closures,
+                                            optimize_with_loops)
+    from dataclasses import replace as _replace
+
+    if cfg is None:
+        cfg = RefineConfig(trans_damp=0.0)
+    if loop_cfg is None:
+        loop_cfg = LoopClosureConfig(odo_rot_info=1000.0)
+
+    poses = np.asarray(poses)
+    refined, rinfo = refine_trajectory(poses, kp, desc, valid, kp3d, K,
+                                       diag_promoted=diag_promoted, cfg=cfg,
+                                       feat_rows=feat_rows)
+    kfs = rinfo["keyframes"]
+    edges = detect_loop_closures(kfs, refined, kp, desc, valid, kp3d, K,
+                                 loop_cfg, feat_rows=feat_rows)
+    closed, pinfo = optimize_with_loops(refined, kfs, edges, loop_cfg)
+    return closed, {"loop_edges": len(edges), "pgo": pinfo, "ba": rinfo,
+                    "keyframes": kfs, "refined_odometry": refined}
+
+
 def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
                       cfg: RefineConfig = RefineConfig(), feat_rows=None):
     """BA-refine a VO trajectory. Returns (refined (F, 4, 4) np, info dict).
@@ -276,8 +554,13 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
     """
     poses = np.asarray(poses)
     F = poses.shape[0]
-    z = np.asarray(kp3d[..., 2])
-    kp3d_valid = np.asarray(valid) & (z > 0.1) & (z < 80.0)
+    # Host copies once: the problem builders index kp/kp3d per window, and doing
+    # that against device arrays costs a ~25 ms link round-trip per access.
+    kp = np.asarray(kp)
+    valid = np.asarray(valid)
+    kp3d = np.asarray(kp3d)
+    z = kp3d[..., 2]
+    kp3d_valid = valid & (z > 0.1) & (z < 80.0)
 
     if diag_promoted is None:
         diag_promoted = np.zeros(F - 1, bool)

@@ -43,6 +43,11 @@ class MultiScaleClassicExtractor:
     border: int = 21
     bits: int = BRIEF_BITS
     subpixel: bool = False  # see OrbLikeExtractor.subpixel
+    # Per-level candidate budget = max_kp * level_budget_decay**level (floor 128).
+    # Coarser octaves cover 2-4x less area, so a full-budget top-k + descriptor
+    # pass per level is mostly padding work; 0.5 matches the area ratio. 1.0 is
+    # the legacy full-budget-per-level behavior.
+    level_budget_decay: float = 1.0
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, images: jnp.ndarray) -> Features:
@@ -68,8 +73,9 @@ class MultiScaleClassicExtractor:
                 fn = (harris_response if self.response == "harris"
                       else shi_tomasi_response)
                 resp = fn(g)
+            lvl_kp = max(int(self.max_kp * self.level_budget_decay ** lvl), 128)
             kp, score, valid = detect_keypoints(
-                resp, max_kp=self.max_kp, nms_size=self.nms_size,
+                resp, max_kp=lvl_kp, nms_size=self.nms_size,
                 rel_threshold=self.rel_threshold, border=self.border,
                 subpixel=self.subpixel)
             desc = self._describe(g, kp, valid)
@@ -86,7 +92,11 @@ class MultiScaleClassicExtractor:
         valid = jnp.concatenate(valids, axis=1)
 
         # Global budget: best max_kp across all levels by detector response.
-        top, idx = jax.lax.top_k(score, self.max_kp)
+        top, idx = jax.lax.top_k(score, min(self.max_kp, score.shape[1]))
+        if top.shape[1] < self.max_kp:   # tiny budgets/level counts: pad back up
+            pad = self.max_kp - top.shape[1]
+            top = jnp.pad(top, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
         bt = jnp.arange(B)[:, None]
         return Features(
             kp=kp[bt, idx],
@@ -111,4 +121,5 @@ class MultiScaleClassicExtractor:
     def __hash__(self):
         return hash((self.max_kp, self.n_scales, self.scale_f, self.response,
                      self.descriptor, self.oriented, self.nms_size,
-                     self.rel_threshold, self.border, self.bits, self.subpixel))
+                     self.rel_threshold, self.border, self.bits, self.subpixel,
+                     self.level_budget_decay))

@@ -60,21 +60,17 @@ def refine_poses(poses, feats, kp3d, K, diag, feat_rows=None):
     The north-star layer the reference lacks (it chains poses open-loop,
     VisualOdometry_Stereo.py:283,292). ``feat_rows`` maps feature rows to frame ids
     when the streaming run retained features sparsely."""
-    from vo_tpu.engine.loop_closure import detect_loop_closures, optimize_with_loops
-    from vo_tpu.engine.refine import refine_trajectory
+    from vo_tpu.engine.refine import refine_full
 
-    refined, info = refine_trajectory(
+    closed, info = refine_full(
         poses, feats.kp, feats.desc, feats.valid, kp3d, K,
         diag_promoted=np.asarray(diag.promoted_keyframe), feat_rows=feat_rows)
-    kfs = info["keyframes"]
-    print(f"[refine] BA over {len(info['windows'])} windows, "
-          f"{len(kfs)} keyframes")
-    edges = detect_loop_closures(kfs, refined, feats.kp, feats.desc, feats.valid,
-                                 kp3d, K, feat_rows=feat_rows)
-    refined, lc = optimize_with_loops(refined, kfs, edges)
+    lc = info["pgo"]
+    print(f"[refine] BA over {len(info['ba']['windows'])} windows, "
+          f"{len(info['keyframes'])} keyframes (rotation-only corrections)")
     print(f"[refine] pose graph: {lc['n_loop_edges']} loop edges, "
           f"cost {lc['pgo_cost'][0]:.4f} -> {lc['pgo_cost'][-1]:.4f}")
-    return refined
+    return closed
 
 
 def write_visualizations(out_dir, image_path, feats, vo_cfg, poses, gt=None,
