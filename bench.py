@@ -347,7 +347,10 @@ def main() -> None:
                             pnp=PnPConfig(n_hypotheses=512),
                             use_pallas_match=pallas_ok)
         sift_engine = VOEngine(sift_cfg)
-        MB = 8
+        # Batch 16: the tunnel costs ~32 ms per dispatch round trip regardless of
+        # payload (measured r05 — every sub-5ms/frame stage probe bottomed out at
+        # the same floor), so larger extraction batches amortize pure link latency.
+        MB = 16
 
         def sift_extract_all():
             fc, kc = [], []
