@@ -144,6 +144,30 @@ class TestPoseGraph:
                                          PoseGraphConfig(iterations=5))
         assert np.allclose(np.asarray(opt), poses_gt, atol=1e-3)
 
+    def test_anisotropic_weights_rotation_stiff(self, rng):
+        """(E, 6) per-component information: with rotation components made very
+        stiff on odometry edges, closure must still happen (drift shrinks) while
+        node ROTATIONS stay near their initialization — the r05 refinement
+        pipeline's contract (closure rides translation, heading untouched)."""
+        poses_gt, init, edges, zs = self.make_chain(rng)
+        E = len(edges)
+        w6 = np.ones((E, 6), np.float32)
+        w6[:-1, 3:] = 1000.0          # odometry rotation components stiff
+        w6[-1] = 20.0                 # loop edge
+        opt, costs = optimize_pose_graph(jnp.asarray(init), jnp.asarray(edges),
+                                         jnp.asarray(zs), jnp.asarray(w6),
+                                         PoseGraphConfig(iterations=25))
+        opt = np.asarray(opt)
+        err_init = np.linalg.norm(init[-1][:3, 3] - poses_gt[-1][:3, 3])
+        err_opt = np.linalg.norm(opt[-1][:3, 3] - poses_gt[-1][:3, 3])
+        assert err_opt < 0.5 * err_init, (err_init, err_opt)
+        # rotations stay within a fraction of a degree of the init
+        dR = np.einsum("nij,nkj->nik", opt[:, :3, :3], init[:, :3, :3])
+        ang = np.degrees(np.arccos(
+            np.clip((np.einsum("nii->n", dR) - 1) / 2, -1, 1)))
+        assert ang.max() < 0.5, ang.max()
+        assert np.asarray(costs)[-1] < np.asarray(costs)[0]
+
     def test_long_run_past_convergence_stays_finite(self, rng):
         """Running MANY iterations past convergence must not diverge: the
         pre-LM optimizer applied every GN step unconditionally and a converged
