@@ -54,7 +54,8 @@ def build_extractor(cfg: RunConfig):
     raise ValueError(f"unknown feature_extractor {cfg.feature_extractor!r}")
 
 
-def refine_poses(poses, feats, kp3d, K, diag, feat_rows=None):
+def refine_poses(poses, feats, kp3d, K, diag, feat_rows=None,
+                 save_odometry=None):
     """BA-refine keyframe windows, then close loops with a pose graph.
 
     The north-star layer the reference lacks (it chains poses open-loop,
@@ -70,6 +71,9 @@ def refine_poses(poses, feats, kp3d, K, diag, feat_rows=None):
           f"{len(info['keyframes'])} keyframes (rotation-only corrections)")
     print(f"[refine] pose graph: {lc['n_loop_edges']} loop edges, "
           f"cost {lc['pgo_cost'][0]:.4f} -> {lc['pgo_cost'][-1]:.4f}")
+    if save_odometry:
+        save_poses_npy(save_odometry, info["refined_odometry"])
+        print(f"[refine] odometry-stage trajectory -> {save_odometry}")
     return closed
 
 
@@ -127,6 +131,11 @@ def main(argv=None) -> int:
     ap.add_argument("--eval", action="store_true", help="score against gt_txt_file_path")
     ap.add_argument("--refine", action="store_true",
                     help="windowed BA + loop-closure pose graph on the trajectory")
+    ap.add_argument("--save-odometry", default=None, metavar="PATH",
+                    help="with --refine: also write the odometry-accurate stage "
+                         "(rotation-only BA, before loop closure) as PATH.npy — "
+                         "the closed output trades some 100 m segment accuracy "
+                         "for global consistency (docs/PERF.md)")
     ap.add_argument("--limit", type=int, default=0, help="process only the first N frames")
     ap.add_argument("--checkpoint", default=None,
                     help="mid-run checkpoint path (poses-so-far + engine state)")
@@ -191,7 +200,8 @@ def main(argv=None) -> int:
     if args.refine:
         t1 = time.time()
         poses = refine_poses(poses, feats, kp3d, K, diag,
-                             feat_rows=None if args.retain == "all" else feat_rows)
+                             feat_rows=None if args.retain == "all" else feat_rows,
+                             save_odometry=args.save_odometry)
         print(f"[refine] done in {time.time() - t1:.2f}s")
 
     out = cfg.output_filename
