@@ -64,3 +64,25 @@ class TestEndToEnd:
         assert not diag.accepted[3]          # frame index 4 => diag row 3
         # held pose == the active keyframe's pose (pose-hold fallback, ref :290)
         assert any(np.allclose(poses[4], poses[i], atol=1e-5) for i in range(4))
+
+    def test_depth_dropout_window_recovers(self):
+        """An 85% depth-dropout window must not corrupt the trajectory (r05
+        regression): the surviving anchors are nearly coplanar ground points
+        (DLT-degenerate) and too few for the reference's absolute >20-inlier
+        gate. The identity-seeded annealed GN candidate + ratio acceptance in
+        pnp_ransac keep tracking through the window."""
+        from vo_tpu.utils.synthetic import slalom_trajectory
+
+        F = 44
+        traj = slalom_trajectory(F, step=0.8)
+        imgs, deps, gt = render_sequence(F, K, H=240, W=320, traj=traj)
+        rng = np.random.default_rng(8214)
+        drop = rng.uniform(size=deps[20:27].shape) < 0.85
+        deps[20:27] = np.where(drop, 0.0, deps[20:27])
+        cfg = VOConfig(matcher="ratio_binary", pnp=PnPConfig(n_hypotheses=256))
+        poses, diag = run_offline_vo(imgs, deps, K, vo_config=cfg,
+                                     extractor=OrbLikeExtractor(max_kp=1024),
+                                     extraction_batch=16)
+        err = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+        assert err[-1] < 1.0, f"dropout window corrupted trajectory: {err[-1]:.2f} m"
+        assert diag.accepted.mean() > 0.85

@@ -62,12 +62,26 @@ class TestPnP:
         assert int(res.n_inliers) >= 500
 
     def test_insufficient_points_not_ok(self, rng):
+        # Below the ratio-acceptance floor (PnPConfig.min_inliers_floor = 8) a
+        # pose can never be ok, no matter how well it fits.
         X, uv, valid, _, _ = make_scene(rng, n=512)
-        valid = valid & (np.arange(len(valid)) < 10)  # only 10 valid
+        valid = valid & (np.arange(len(valid)) < 6)   # only 6 valid
         res = pnp_ransac(jax.random.key(2), jnp.asarray(X), jnp.asarray(uv),
                          jnp.asarray(valid), jnp.asarray(KITTI_K))
-        assert int(res.n_inliers) <= 10
+        assert int(res.n_inliers) <= 6
         assert not bool(res.ok)
+
+    def test_ratio_acceptance_when_depth_starved(self, rng):
+        """r05 semantics: a pose explaining >= 60% of the few available
+        correspondences (>= 8 absolute) is accepted even below the reference's
+        >20 absolute gate — the depth-dropout regime where rejecting a correct
+        pose (and holding) bakes real motion error into the trajectory."""
+        X, uv, valid, _, _ = make_scene(rng, n=512)
+        valid = valid & (np.arange(len(valid)) < 12)  # 12 valid, clean geometry
+        res = pnp_ransac(jax.random.key(2), jnp.asarray(X), jnp.asarray(uv),
+                         jnp.asarray(valid), jnp.asarray(KITTI_K))
+        assert int(res.n_inliers) >= 8
+        assert bool(res.ok)
 
     def test_deterministic_given_key(self, rng):
         X, uv, valid, _, _ = make_scene(rng)

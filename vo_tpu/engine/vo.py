@@ -170,7 +170,20 @@ class VOEngine:
         promote = accepted & ((n_matches < cfg.kf_min_matches)
                               | (pnp.n_inliers < cfg.kf_min_inliers)
                               | (step_norm > cfg.kf_max_step))
-        new_kf = promote | (bad_pnp > cfg.bad_pnp_limit)
+        # bad_pnp escalation (the reference's :295-296 refresh) promotes the
+        # CURRENT frame — whose pose is a hold, i.e. wrong by the motion since
+        # the last accepted frame — so a refresh while the old keyframe is still
+        # perfectly matchable bakes that error into every later pose. Measured
+        # (r05): a 5-frame 85% depth-dropout window left a permanent 3.4 m error
+        # through exactly this path, while matching stayed healthy throughout.
+        # Refresh only when tracking is actually LOST (match collapse), with a
+        # long-hold refresh as the last resort so a permanently changed scene
+        # still re-anchors eventually (reference behavior restored at 4x the
+        # escalation limit).
+        lost = n_matches < cfg.kf_min_matches
+        force_refresh = (bad_pnp > cfg.bad_pnp_limit) & (
+            lost | (bad_pnp > 4 * cfg.bad_pnp_limit))
+        new_kf = promote | force_refresh
 
         def as_kf(_):
             return VOState(

@@ -50,10 +50,20 @@ class PnPConfig:
     min_inliers: int = 20         # acceptance gate (:132)
     gn_iterations: int = 10       # refinement steps on the winning hypothesis
     min_depth: float = 1e-3       # points must be in front of the camera
+    # Ratio acceptance for the depth-starved regime: the reference's absolute
+    # >20 gate rejects a CORRECT pose whenever fewer than ~25 depth-valid
+    # correspondences exist at all (measured r05: an 85% depth-dropout window
+    # produced 19-of-22-inlier poses within centimetres of ground truth, all
+    # rejected — and every rejected frame holds the pose, baking in ~0.8 m of
+    # real motion). A pose is also accepted when it explains >= accept_ratio of
+    # the available correspondences with at least min_inliers_floor of them.
+    min_inliers_floor: int = 8
+    accept_ratio: float = 0.6
 
     def __hash__(self):
         return hash((self.n_hypotheses, self.sample_size, self.reproj_threshold,
-                     self.min_inliers, self.gn_iterations, self.min_depth))
+                     self.min_inliers, self.gn_iterations, self.min_depth,
+                     self.min_inliers_floor, self.accept_ratio))
 
 
 class PnPResult(NamedTuple):
@@ -135,12 +145,20 @@ def _reproject_residuals(pose, X, x_px, K):
     return res, z
 
 
-def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig):
-    """Fixed-iteration reweighted Gauss-Newton over SE(3), masked — no gathers."""
+def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig, thresholds=None):
+    """Fixed-iteration reweighted Gauss-Newton over SE(3), masked — no gathers.
+
+    ``thresholds``: optional per-iteration inlier-weight cutoffs (px). The
+    default repeats cfg.reproj_threshold — a tight polisher. An ANNEALED
+    schedule (wide -> tight) turns the same loop into a wide-basin solver: from
+    an identity seed, early iterations fit all correspondences coarsely, late
+    iterations sharpen on the emerging inlier set."""
 
     fx, fy = K[0, 0], K[1, 1]
+    if thresholds is None:
+        thresholds = jnp.full((cfg.gn_iterations,), cfg.reproj_threshold)
 
-    def step(pose, _):
+    def step(pose, thr):
         R = pose[:3, :3]
         t = pose[:3, 3]
         Y = X @ R.T + t  # (N, 3) camera-frame
@@ -151,7 +169,7 @@ def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig):
         v = fy * Y[:, 1] / z_safe + K[1, 2]
         r = jnp.stack([u - x_px[:, 0], v - x_px[:, 1]], axis=-1)  # (N, 2)
         res_norm = jnp.linalg.norm(r, axis=-1)
-        w = (valid & z_ok & (res_norm < cfg.reproj_threshold)).astype(jnp.float32)
+        w = (valid & z_ok & (res_norm < thr)).astype(jnp.float32)
 
         # d(uv)/dY (N, 2, 3)
         zinv = 1.0 / z_safe
@@ -172,7 +190,7 @@ def _gn_refine(pose0, X, x_px, valid, K, cfg: PnPConfig):
         delta = jnp.where(jnp.sum(w) >= 4, delta, jnp.zeros(6))
         return se3_exp(delta) @ pose, None
 
-    pose, _ = jax.lax.scan(step, pose0, None, length=cfg.gn_iterations)
+    pose, _ = jax.lax.scan(step, pose0, thresholds)
     return pose
 
 
@@ -226,19 +244,43 @@ def pnp_ransac(
     inl = (res < cfg.reproj_threshold) & (z > cfg.min_depth) & valid[None, :]
     counts = jnp.sum(inl, axis=-1)
     best = jnp.argmax(counts)
-    pose0 = hyp_poses[best]
+
+    # Identity-seeded annealed GN: a deterministic wide-basin candidate for the
+    # regimes where BOTH banks degenerate at once — depth-starved frames whose
+    # surviving anchors are nearly coplanar (ground points) kill the 6-point DLT,
+    # while independent dropout on both frames starves the 3D-3D Kabsch bank
+    # (measured r05: 30 correspondences, 87% within 1.5 px of ground truth, bank
+    # answer 1 inlier). VO inter-frame motion sits comfortably inside the
+    # annealed basin; large-baseline cases still come from the banks.
+    anneal = jnp.asarray([64.0, 32.0, 16.0, 8.0, 4.0, 2.0]
+                         + [float(cfg.reproj_threshold)] * 4)
+    pose_id = _gn_refine(jnp.eye(4), points_3d, points_2d, valid, K, cfg,
+                         thresholds=anneal)
+    res_i, z_i = _reproject_residuals(pose_id, points_3d, points_2d, K)
+    count_i = jnp.sum((res_i < cfg.reproj_threshold) & (z_i > cfg.min_depth)
+                      & valid)
+    use_id = count_i > counts[best]
+    pose0 = jnp.where(use_id, pose_id, hyp_poses[best])
+    best_count = jnp.maximum(counts[best], count_i)
+    best_inl = jnp.where(use_id,
+                         (res_i < cfg.reproj_threshold) & (z_i > cfg.min_depth)
+                         & valid,
+                         inl[best])
 
     pose = _gn_refine(pose0, points_3d, points_2d, valid, K, cfg)
 
     res_f, z_f = _reproject_residuals(pose, points_3d, points_2d, K)
     inliers = (res_f < cfg.reproj_threshold) & (z_f > cfg.min_depth) & valid
     n_inliers = jnp.sum(inliers).astype(jnp.int32)
-    # Keep whichever of {refined, best hypothesis} scores higher (refinement can
+    # Keep whichever of {refined, best candidate} scores higher (refinement can
     # occasionally diverge on degenerate sets; the reference keeps best-of-3 similarly).
-    better = n_inliers >= counts[best]
+    better = n_inliers >= best_count
     pose = jnp.where(better, pose, pose0)
-    inliers = jnp.where(better, inliers, inl[best])
-    n_inliers = jnp.maximum(n_inliers, counts[best]).astype(jnp.int32)
+    inliers = jnp.where(better, inliers, best_inl)
+    n_inliers = jnp.maximum(n_inliers, best_count).astype(jnp.int32)
 
-    ok = n_inliers > cfg.min_inliers
+    n_avail = jnp.sum(valid)
+    ratio_ok = ((n_inliers >= cfg.min_inliers_floor)
+                & (n_inliers >= cfg.accept_ratio * n_avail))
+    ok = (n_inliers > cfg.min_inliers) | ratio_ok
     return PnPResult(pose=pose, inliers=inliers, n_inliers=n_inliers, ok=ok)
