@@ -475,7 +475,6 @@ def main() -> None:
     # before/after accuracy on record and a hard improvement gate.
     refine_block = None
     try:
-        from vo_tpu.engine.loop_closure import LoopClosureConfig
         from vo_tpu.engine.pipeline import run_offline_vo
         from vo_tpu.utils.synthetic import (default_world, depth_valid_fraction,
                                             loop_trajectory, render_sequence)
@@ -505,14 +504,16 @@ def main() -> None:
 
         from vo_tpu.engine.refine import refine_full
 
-        lcc = LoopClosureConfig(min_gap=8, radius=10.0, odo_rot_info=1000.0)
-
         def run_refine():
             t0 = time.perf_counter()
+            # loop_cfg=None -> refine_full's adaptive branch selection (skips
+            # windowed BA + uses modest isotropic closure when the measured
+            # heading drift is already small; rotation-only BA + rotation-stiff
+            # closure when it is not).
             closed, info = refine_full(
                 lposes, lfeats.kp, lfeats.desc, lfeats.valid, lkp3d,
                 jnp.asarray(K),
-                diag_promoted=np.asarray(ldiag.promoted_keyframe), loop_cfg=lcc)
+                diag_promoted=np.asarray(ldiag.promoted_keyframe))
             return closed, info, time.perf_counter() - t0
 
         closed, rinfo, refine_wall = run_refine()      # cold: includes compiles

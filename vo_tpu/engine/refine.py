@@ -497,47 +497,81 @@ def _loop_pair_matches(rows_a, rows_b, kp, desc, valid, kp3d, kp3d_valid, K,
 
 
 def refine_full(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
-                cfg: RefineConfig = None, feat_rows=None, loop_cfg=None):
-    """The product refinement pipeline, chosen by measurement (r05 sweeps on the
-    240-frame loop workload):
+                cfg: RefineConfig = None, feat_rows=None, loop_cfg=None,
+                ba_rot_threshold_deg: float = 1.0):
+    """The product refinement pipeline — ADAPTIVE, chosen by measurement (r05
+    sweeps on the 240-frame loop workload, in both odometry regimes):
 
-    1. Windowed BA with ROTATION-ONLY corrections (``trans_damp=0``): the 3-view
-       tracks carry a strong heading signal (seg-rot 1.97 -> 0.75 deg/100m) and
-       rotation-only application leaves the depth-backed VO translations — which
-       BA's own translation estimate cannot beat — untouched (seg-trans stays at
-       the odometry's 0.096%, vs 0.31% when translations were applied).
-    2. Loop detection + ROTATION-STIFF pose-graph closure
-       (``odo_rot_info=1000``): closes endpoint drift 0.84 m -> 0.02 m through
-       the translation components only, so the heading BA just fixed is not bent
-       by redistribution (isotropic PGO pushed seg-rot back to 2.3).
+    1. Detect + verify loop closures on the raw odometry. The loop residuals
+       measure the odometry's own drift: their median ROTATION angle says
+       whether heading drift is worth a BA pass.
+    2. If heading drift is small (median loop rotation residual below
+       ``ba_rot_threshold_deg``, the healthy-odometry regime): skip windowed BA
+       — measured, its rotation-only corrections zero the segment-rotation
+       metric but shift absolute positions (ATE 0.052 -> 0.084 m) for headings
+       that were already fine — and close with a MODEST ISOTROPIC pose graph
+       (loop_weight 1), which improved every metric at once (seg 0.036 ->
+       0.013%, rot 0.21 -> 0.11 deg/100m, drift 0.100 -> 0.011 m, ATE 0.052 ->
+       0.043 m).
+    3. If heading drift is large (degraded odometry — the pre-r05 solver
+       measured 1.97 deg/100m): run rotation-only windowed BA first (heading
+       1.97 -> 0.75 deg/100m at unchanged segment translation), then close with
+       ROTATION-STIFF odometry information (odo_rot_info=1000) so the
+       redistribution rides translation and preserves the BA heading fixes
+       (drift 0.84 -> 0.02 m).
 
-    The closure's translation redistribution costs some 100 m segment-translation
-    accuracy (0.096 -> ~0.19% here) — intrinsic to closing diffuse drift — so the
-    odometry-accurate stage-1 trajectory is returned in
-    ``info["refined_odometry"]`` alongside the globally-consistent result, the
-    same two-trajectory contract SLAM systems expose.
+    The pre-closure trajectory (raw odometry or its BA polish) is returned in
+    ``info["refined_odometry"]`` alongside the globally-consistent result — the
+    standard SLAM two-trajectory contract.
 
     Returns (closed (F, 4, 4), info dict).
     """
     from vo_tpu.engine.loop_closure import (LoopClosureConfig,
                                             detect_loop_closures,
                                             optimize_with_loops)
-    from dataclasses import replace as _replace
-
-    if cfg is None:
-        cfg = RefineConfig(trans_damp=0.0)
-    if loop_cfg is None:
-        loop_cfg = LoopClosureConfig(odo_rot_info=1000.0)
 
     poses = np.asarray(poses)
-    refined, rinfo = refine_trajectory(poses, kp, desc, valid, kp3d, K,
-                                       diag_promoted=diag_promoted, cfg=cfg,
-                                       feat_rows=feat_rows)
-    kfs = rinfo["keyframes"]
-    edges = detect_loop_closures(kfs, refined, kp, desc, valid, kp3d, K,
-                                 loop_cfg, feat_rows=feat_rows)
+    F = poses.shape[0]
+    if diag_promoted is None:
+        diag_promoted = np.zeros(F - 1, bool)
+    if feat_rows is None:
+        kfs = _select_keyframes(diag_promoted, F)
+    else:
+        kfs = _select_keyframes(diag_promoted, F, allowed=np.asarray(feat_rows))
+
+    probe_cfg = loop_cfg if loop_cfg is not None else LoopClosureConfig()
+    edges = detect_loop_closures(kfs, poses, kp, desc, valid, kp3d, K,
+                                 probe_cfg, feat_rows=feat_rows)
+    rot_disc_deg = 0.0
+    if edges:
+        angs = []
+        for a, b, Z, _ in edges:
+            rel = np.linalg.inv(poses[kfs[a]]) @ poses[kfs[b]]
+            D = np.linalg.inv(Z) @ rel
+            tr = np.clip(0.5 * (np.trace(D[:3, :3]) - 1.0), -1.0, 1.0)
+            angs.append(np.degrees(np.arccos(tr)))
+        rot_disc_deg = float(np.median(angs))
+
+    run_ba = (not edges) or rot_disc_deg > ba_rot_threshold_deg
+    if run_ba:
+        if cfg is None:
+            cfg = RefineConfig(trans_damp=0.0)
+        refined, rinfo = refine_trajectory(poses, kp, desc, valid, kp3d, K,
+                                           diag_promoted=diag_promoted, cfg=cfg,
+                                           feat_rows=feat_rows)
+        if loop_cfg is None:
+            loop_cfg = LoopClosureConfig(odo_rot_info=1000.0)
+        edges = detect_loop_closures(kfs, refined, kp, desc, valid, kp3d, K,
+                                     loop_cfg, feat_rows=feat_rows)
+    else:
+        refined, rinfo = poses.copy(), {"windows": [], "keyframes": kfs,
+                                        "timing": {}}
+        if loop_cfg is None:
+            loop_cfg = LoopClosureConfig(loop_weight=1.0)
+
     closed, pinfo = optimize_with_loops(refined, kfs, edges, loop_cfg)
     return closed, {"loop_edges": len(edges), "pgo": pinfo, "ba": rinfo,
+                    "ran_ba": run_ba, "loop_rot_disc_deg": rot_disc_deg,
                     "keyframes": kfs, "refined_odometry": refined}
 
 
