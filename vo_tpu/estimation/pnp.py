@@ -59,11 +59,15 @@ class PnPConfig:
     # the available correspondences with at least min_inliers_floor of them.
     min_inliers_floor: int = 8
     accept_ratio: float = 0.6
+    # Coarse-to-fine thresholds (px) for the identity-seeded GN candidate; a
+    # tight tail at reproj_threshold is appended automatically. () disables the
+    # candidate (the pre-r05 banks-only solver).
+    anneal: tuple = (64.0, 32.0, 16.0, 8.0, 4.0, 2.0)
 
     def __hash__(self):
         return hash((self.n_hypotheses, self.sample_size, self.reproj_threshold,
                      self.min_inliers, self.gn_iterations, self.min_depth,
-                     self.min_inliers_floor, self.accept_ratio))
+                     self.min_inliers_floor, self.accept_ratio, self.anneal))
 
 
 class PnPResult(NamedTuple):
@@ -252,20 +256,40 @@ def pnp_ransac(
     # (measured r05: 30 correspondences, 87% within 1.5 px of ground truth, bank
     # answer 1 inlier). VO inter-frame motion sits comfortably inside the
     # annealed basin; large-baseline cases still come from the banks.
-    anneal = jnp.asarray([64.0, 32.0, 16.0, 8.0, 4.0, 2.0]
-                         + [float(cfg.reproj_threshold)] * 4)
-    pose_id = _gn_refine(jnp.eye(4), points_3d, points_2d, valid, K, cfg,
-                         thresholds=anneal)
-    res_i, z_i = _reproject_residuals(pose_id, points_3d, points_2d, K)
-    count_i = jnp.sum((res_i < cfg.reproj_threshold) & (z_i > cfg.min_depth)
-                      & valid)
-    use_id = count_i > counts[best]
-    pose0 = jnp.where(use_id, pose_id, hyp_poses[best])
-    best_count = jnp.maximum(counts[best], count_i)
-    best_inl = jnp.where(use_id,
-                         (res_i < cfg.reproj_threshold) & (z_i > cfg.min_depth)
-                         & valid,
-                         inl[best])
+    if cfg.anneal:
+        # Gated on bank weakness: when the winning hypothesis already explains
+        # most of the correspondences (the healthy-frame common case), the
+        # candidate cannot change the answer enough to matter and its ~0.9
+        # ms/frame is pure cost (measured r05: engine 2.10 -> 1.24 ms with the
+        # gate, seg-trans 0.026 vs 0.030%). lax.cond skips the compute in the
+        # sequential engine scan; under vmap (the refinement pair kernel) it
+        # lowers to a select and simply runs — still correct.
+        n_avail0 = jnp.sum(valid)
+        bank_weak = (counts[best] < 0.5 * n_avail0) | (n_avail0 < 64)
+
+        def _with_candidate(_):
+            anneal = jnp.asarray(list(cfg.anneal)
+                                 + [float(cfg.reproj_threshold)] * 4)
+            pose_id = _gn_refine(jnp.eye(4), points_3d, points_2d, valid, K,
+                                 cfg, thresholds=anneal)
+            res_i, z_i = _reproject_residuals(pose_id, points_3d, points_2d, K)
+            inl_i = ((res_i < cfg.reproj_threshold) & (z_i > cfg.min_depth)
+                     & valid)
+            return pose_id, jnp.sum(inl_i).astype(counts.dtype), inl_i
+
+        def _without(_):
+            return hyp_poses[best], counts[best], inl[best]
+
+        pose_id, count_i, inl_i = jax.lax.cond(bank_weak, _with_candidate,
+                                               _without, None)
+        use_id = count_i > counts[best]
+        pose0 = jnp.where(use_id, pose_id, hyp_poses[best])
+        best_count = jnp.maximum(counts[best], count_i)
+        best_inl = jnp.where(use_id, inl_i, inl[best])
+    else:
+        pose0 = hyp_poses[best]
+        best_count = counts[best]
+        best_inl = inl[best]
 
     pose = _gn_refine(pose0, points_3d, points_2d, valid, K, cfg)
 
