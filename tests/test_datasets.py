@@ -87,6 +87,19 @@ class TestImageFolder:
         assert len(f) == 1
         assert f.load_gray(0).shape == (8, 8)
 
+    def test_cached_list_hex_prefix_layout(self, tmp_path):
+        """revisitop1m layout: cached lists hold bare names that live under a
+        3-char hex-prefix subfolder (web_images.py:50-52)."""
+        from PIL import Image
+
+        d = tmp_path / "web"
+        (d / "0ab").mkdir(parents=True)
+        Image.fromarray(np.zeros((8, 8), np.uint8)).save(d / "0ab" / "0abcd.jpg")
+        (d / "image_list_0.txt").write_text("0abcd.jpg\n")
+        f = ImageFolder(str(d))
+        assert len(f) == 1
+        assert f.load_gray(0).shape == (8, 8)
+
 
 class TestPairSources:
     def test_still_pairs(self, tmp_path):

@@ -43,7 +43,15 @@ class ImageFolder:
         cached = sorted(f for f in os.listdir(root)
                         if f.startswith("image_list_") and f.endswith(".txt"))
         if cached:
-            self.paths = [os.path.join(root, line.strip())
+            def resolve(name: str) -> str:
+                p = os.path.join(root, name)
+                if os.path.exists(p):
+                    return p
+                # revisitop1m layout: lists hold bare filenames living under
+                # a hex-prefix subfolder (web_images.py:50-52 get_key).
+                return os.path.join(root, name[:3], name)
+
+            self.paths = [resolve(line.strip())
                           for f in cached
                           for line in open(os.path.join(root, f))
                           if line.strip()]
