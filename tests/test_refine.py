@@ -13,6 +13,31 @@ from vo_tpu.utils.synthetic import render_sequence
 K = np.array([[260.0, 0.0, 160.0], [0.0, 260.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
 
 
+def test_loop_rotation_discrepancy_probe(rng):
+    """The adaptive-branch probe must read ~0 on a drift-free trajectory and the
+    injected heading error on a drifted one."""
+    from vo_tpu.engine.refine import loop_rotation_discrepancy_deg
+    from vo_tpu.geometry import so3_exp
+
+    # chain of 20 poses moving forward
+    poses = np.stack([np.eye(4)] * 20)
+    for i in range(1, 20):
+        poses[i] = poses[i - 1].copy()
+        poses[i][2, 3] += 1.0
+    kfs = np.arange(20)
+    # exact loop edge between 0 and 19 -> zero discrepancy
+    Z = np.linalg.inv(poses[0]) @ poses[19]
+    assert loop_rotation_discrepancy_deg(poses, kfs, [(0, 19, Z, 50)]) < 1e-6
+    assert loop_rotation_discrepancy_deg(poses, kfs, []) == 0.0
+    # inject 3 deg of heading drift at the tail -> probe reads ~3 deg
+    drift = np.eye(4)
+    drift[:3, :3] = np.asarray(so3_exp(jnp.asarray([[0.0, np.radians(3.0), 0.0]])))[0]
+    poses_d = poses.copy()
+    poses_d[19] = poses_d[19] @ drift
+    disc = loop_rotation_discrepancy_deg(poses_d, kfs, [(0, 19, Z, 50)])
+    assert 2.5 < disc < 3.5, disc
+
+
 @pytest.mark.slow
 def test_global_refinement_reduces_pose_error(rng):
     """One global BA over the whole keyframe chain (refine_trajectory_global) must

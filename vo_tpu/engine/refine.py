@@ -496,6 +496,22 @@ def _loop_pair_matches(rows_a, rows_b, kp, desc, valid, kp3d, kp3d_valid, K,
     return [(idx[i], mask[i]) for i in range(len(rows_a))]
 
 
+def loop_rotation_discrepancy_deg(poses, kf_ids, loop_edges) -> float:
+    """Median rotation angle (deg) between each verified loop edge's measured
+    relative transform and the trajectory's current estimate — a GT-free probe
+    of accumulated heading drift (0 when there are no edges)."""
+    if not loop_edges:
+        return 0.0
+    kf_ids = np.asarray(kf_ids)
+    angs = []
+    for a, b, Z, _ in loop_edges:
+        rel = np.linalg.inv(poses[kf_ids[a]]) @ poses[kf_ids[b]]
+        D = np.linalg.inv(Z) @ rel
+        tr = np.clip(0.5 * (np.trace(D[:3, :3]) - 1.0), -1.0, 1.0)
+        angs.append(np.degrees(np.arccos(tr)))
+    return float(np.median(angs))
+
+
 def refine_full(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
                 cfg: RefineConfig = None, feat_rows=None, loop_cfg=None,
                 ba_rot_threshold_deg: float = 1.0):
@@ -542,15 +558,7 @@ def refine_full(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
     probe_cfg = loop_cfg if loop_cfg is not None else LoopClosureConfig()
     edges = detect_loop_closures(kfs, poses, kp, desc, valid, kp3d, K,
                                  probe_cfg, feat_rows=feat_rows)
-    rot_disc_deg = 0.0
-    if edges:
-        angs = []
-        for a, b, Z, _ in edges:
-            rel = np.linalg.inv(poses[kfs[a]]) @ poses[kfs[b]]
-            D = np.linalg.inv(Z) @ rel
-            tr = np.clip(0.5 * (np.trace(D[:3, :3]) - 1.0), -1.0, 1.0)
-            angs.append(np.degrees(np.arccos(tr)))
-        rot_disc_deg = float(np.median(angs))
+    rot_disc_deg = loop_rotation_discrepancy_deg(poses, kfs, edges)
 
     run_ba = (not edges) or rot_disc_deg > ba_rot_threshold_deg
     if run_ba:
