@@ -94,6 +94,19 @@ class TestLoopClosure:
         drift_after = np.linalg.norm(closed[-1, :3, 3] - gt[-1, :3, 3])
         assert drift_after < drift_before
 
+        # The product pipeline (adaptive branch selection) must also close the
+        # loop end-to-end and expose the two-trajectory contract.
+        from vo_tpu.engine.refine import refine_full
+
+        closed2, info = refine_full(poses, feats.kp, feats.desc, feats.valid,
+                                    kp3d, K,
+                                    diag_promoted=np.asarray(
+                                        diag.promoted_keyframe))
+        assert info["loop_edges"] >= 1
+        assert "ran_ba" in info and "refined_odometry" in info
+        drift_full = np.linalg.norm(closed2[-1, :3, 3] - gt[-1, :3, 3])
+        assert drift_full < drift_before
+
     def test_non_revisiting_trajectory_proposes_no_candidates(self):
         """An oscillating forward drive never revisits: near-in-space pairs are also
         near-along-path, so the path-gap gate must yield ZERO candidates (short-range
