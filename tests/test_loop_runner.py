@@ -186,6 +186,19 @@ class TestStreamingPipeline:
                                       np.asarray(feats_f.kp)[rows])
         np.testing.assert_array_equal(np.asarray(kp3d_s), np.asarray(kp3d_f)[rows])
 
+        # The product refinement must run on the sparse retention (feat_rows
+        # path through the batched pair matchers + loop detection) and return a
+        # finite trajectory of the right shape.
+        from vo_tpu.engine.refine import refine_full
+
+        closed, info = refine_full(poses_sp, feats_s.kp, feats_s.desc,
+                                   feats_s.valid, kp3d_s, K,
+                                   diag_promoted=np.asarray(
+                                       diag_sp.promoted_keyframe),
+                                   feat_rows=rows)
+        assert closed.shape == (F, 4, 4) and np.isfinite(closed).all()
+        assert "refined_odometry" in info
+
     def test_uint16mm_depth_transfer_matches_f32(self):
         """The reduced-bandwidth mm-quantized depth transfer must reproduce the f32
         trajectory to quantization tolerance (<= 0.5 mm per depth sample)."""
