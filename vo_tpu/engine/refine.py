@@ -14,6 +14,7 @@ is a host loop over a handful of jitted BA solves.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +22,7 @@ import numpy as np
 
 from vo_tpu.ba.bundle_adjust import BAConfig, BAProblem, bundle_adjust
 from vo_tpu.estimation.pnp import PnPConfig, pnp_ransac
-from vo_tpu.geometry.se3 import pose_inverse, transform_points
+from vo_tpu.geometry.se3 import pose_inverse
 from vo_tpu.matching.matchers import MatchResult, ratio_match, ratio_mutual_nn_match
 
 
@@ -114,10 +115,7 @@ def _pair_match(ia, ib, kp, desc, valid, kp3d, kp3d_valid, K, cfg: RefineConfig)
     return idx, mask & np.asarray(pnp.inliers)
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",))
 def _pair_match_kernel(keys, desc_a, valid_a, kp3d_a, kp3d_valid_a,
                        kp_b, desc_b, valid_b, kp3d_b, kp3d_valid_b, K,
                        cfg: RefineConfig):
