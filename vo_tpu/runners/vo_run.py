@@ -67,8 +67,13 @@ def refine_poses(poses, feats, kp3d, K, diag, feat_rows=None,
         poses, feats.kp, feats.desc, feats.valid, kp3d, K,
         diag_promoted=np.asarray(diag.promoted_keyframe), feat_rows=feat_rows)
     lc = info["pgo"]
-    print(f"[refine] BA over {len(info['ba']['windows'])} windows, "
-          f"{len(info['keyframes'])} keyframes (rotation-only corrections)")
+    if info["ran_ba"]:
+        print(f"[refine] heading drift {info['loop_rot_disc_deg']:.2f} deg -> "
+              f"rotation-only BA over {len(info['ba']['windows'])} windows, "
+              f"{len(info['keyframes'])} keyframes")
+    else:
+        print(f"[refine] heading drift {info['loop_rot_disc_deg']:.2f} deg "
+              f"(healthy) -> BA skipped, isotropic closure")
     print(f"[refine] pose graph: {lc['n_loop_edges']} loop edges, "
           f"cost {lc['pgo_cost'][0]:.4f} -> {lc['pgo_cost'][-1]:.4f}")
     if save_odometry:
