@@ -367,14 +367,20 @@ def main() -> None:
         skp, sdesc, svalid, skp3d = sift_extract_all()          # compile
         sp, sdiag = sift_engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
         np.asarray(sp)
-        t0 = time.perf_counter()
-        skp, sdesc, svalid, skp3d = sift_extract_all()
-        force(skp, sdesc, skp3d)
-        t_ex_ms = time.perf_counter() - t0
-        sp, sdiag = sift_engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
-        sift_poses = np.asarray(sp)
-        sift_fps = F / (time.perf_counter() - t0)
-        ms_ms = t_ex_ms / F * 1000
+        # min over 3 passes, like the main path: a single pass can land in one
+        # of the tunnel's minutes-long bandwidth collapses (measured: the same
+        # binary 9.6 vs 71.9 ms/frame in consecutive runs).
+        t_ex_passes, t_full_passes = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            skp, sdesc, svalid, skp3d = sift_extract_all()
+            force(skp, sdesc, skp3d)
+            t_ex_passes.append(time.perf_counter() - t0)
+            sp, sdiag = sift_engine.run_sequence(skp, sdesc, svalid, skp3d, Kj)
+            sift_poses = np.asarray(sp)
+            t_full_passes.append(time.perf_counter() - t0)
+        sift_fps = F / min(t_full_passes)
+        ms_ms = min(t_ex_passes) / F * 1000
         sift_res, sift_accept, _, sift_sane = _score(gt, sift_poses, sdiag)
     except Exception as e:
         print(f"WARNING: multiscale SIFT-config bench failed: {e!r}", file=sys.stderr)
