@@ -171,6 +171,43 @@ class TestTrainStep:
         assert np.allclose(np.asarray(a), np.asarray(b))
 
 
+class TestCatalogCLIWiring:
+    def test_real_image_batches_with_catalog_flags(self, tmp_path, rng):
+        """The --style-pairs / --flow-dir / --select CLI flags must wire their
+        catalogs into the pair mix and yield trainable batches."""
+        from types import SimpleNamespace
+
+        from PIL import Image
+
+        from vo_tpu.runners.train_r2d2 import real_image_batches
+        from vo_tpu.train.datasets import flow_to_png
+
+        img_dir = tmp_path / "imgs" / "db"
+        st_dir = tmp_path / "style_transfer"
+        flow_root = tmp_path / "optical_flow"
+        img_dir.mkdir(parents=True)
+        st_dir.mkdir()
+        (flow_root / "flow").mkdir(parents=True)
+
+        img = rng.uniform(0, 255, (128, 128)).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / "100.jpg")
+        Image.fromarray(np.roll(img, 5, 1)).save(img_dir / "200.jpg")
+        Image.fromarray(255 - img).save(st_dir / "100.jpg.st_x.jpg")
+        rel = np.zeros((128, 128, 2), np.float32)
+        rel[..., 0] = 5
+        flow_to_png(rel, str(flow_root / "flow" / "100_200.png"))
+
+        args = SimpleNamespace(data_dir=str(tmp_path / "imgs"), flow_pairs=None,
+                               style_pairs=str(st_dir), flow_dir=str(flow_root),
+                               select="db")
+        cfg = TrainConfig(batch=2, height=96, width=96)
+        batches = list(real_image_batches(args, cfg, steps=2, prefetch=1))
+        assert len(batches) == 2
+        img1, img2, aflow, mask = batches[0]
+        assert img1.shape == (2, 96, 96) and aflow.shape == (2, 96, 96, 2)
+        assert mask.any()
+
+
 class TestLoaderErrorPropagation:
     def test_dead_producer_raises_in_main_loop(self, tmp_path, monkeypatch):
         """A pair-loader crash mid-train must raise in the consumer, not deadlock it
