@@ -51,6 +51,13 @@ class RefineConfig:
     # T' = [R_c, damp * t_c] keeps the heading fixes (whose lever arm still closes
     # drift downstream) while trusting VO for local translation.
     trans_damp: float = 1.0
+    # True: each window's corrections re-anchor the whole remaining trajectory
+    # (drift correction — needed when the odometry is genuinely drifted; the
+    # lever arm is how heading fixes close endpoint error). False: corrections
+    # apply only within the window span (local polish) — on a healthy 801-frame
+    # run, tail re-anchoring compounded per-window correction noise into a
+    # rotation random walk (seg-trans 0.15 -> 3.4% over 100 windows, r05).
+    anchor_tail: bool = True
 
 
 def _select_keyframes(diag_promoted: np.ndarray, n_frames: int,
@@ -558,7 +565,21 @@ def refine_full(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
                                  probe_cfg, feat_rows=feat_rows)
     rot_disc_deg = loop_rotation_discrepancy_deg(poses, kfs, edges)
 
-    run_ba = (not edges) or rot_disc_deg > ba_rot_threshold_deg
+    if not edges and cfg is None:
+        # No loop evidence, no explicit request: refinement cannot VERIFY any
+        # correction, and both measured unverified modes degraded a healthy
+        # 801-frame run (tail-anchored rotation-only BA: seg 0.151 -> 3.36%;
+        # window-local polish: -> 0.28%). First, do no harm — return the
+        # odometry unchanged. Callers with known-noisy odometry pass an
+        # explicit RefineConfig to force the BA pass.
+        return poses.copy(), {"loop_edges": 0, "pgo": {"n_loop_edges": 0,
+                                                       "pgo_cost": [0.0]},
+                              "ba": {"windows": [], "keyframes": kfs,
+                                     "timing": {}},
+                              "ran_ba": False, "loop_rot_disc_deg": 0.0,
+                              "keyframes": kfs, "refined_odometry": poses.copy()}
+
+    run_ba = (cfg is not None) or rot_disc_deg > ba_rot_threshold_deg
     if run_ba:
         if cfg is None:
             cfg = RefineConfig(trans_damp=0.0)
@@ -672,9 +693,12 @@ def refine_trajectory(poses, kp, desc, valid, kp3d, K, diag_promoted=None,
 
         # Re-anchor: each frame from ids[0] on follows its window keyframe's
         # correction — batched einsum over the tail, not a per-frame Python loop.
+        # With anchor_tail=False the correction stops at the window's last
+        # keyframe (local polish; see RefineConfig).
         f0 = int(ids[0])
-        j_of = np.searchsorted(ids, np.arange(f0, F), side="right") - 1
-        refined[f0:] = np.einsum("fij,fjk->fik", corr[j_of], refined[f0:])
+        f1 = F if cfg.anchor_tail else int(ids[-1]) + 1
+        j_of = np.searchsorted(ids, np.arange(f0, f1), side="right") - 1
+        refined[f0:f1] = np.einsum("fij,fjk->fik", corr[j_of], refined[f0:f1])
     timing["host_s"] = (_time.perf_counter() - t_start
                         - timing["match_s"] - timing["ba_s"])
     return refined, {"windows": infos, "keyframes": kfs, "timing": timing}

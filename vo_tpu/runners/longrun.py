@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from vo_tpu.engine.pipeline import run_offline_vo_streaming
-    from vo_tpu.engine.refine import refine_trajectory
+    from vo_tpu.engine.refine import refine_full
     from vo_tpu.engine.vo import VOConfig
     from vo_tpu.estimation.pnp import PnPConfig
     from vo_tpu.evalkit import KittiOdomEvaluator
@@ -118,7 +118,7 @@ def main(argv=None) -> int:
     drift = float(np.linalg.norm(poses[-1, :3, 3] - gt[F - 1, :3, 3]))
 
     t0 = time.perf_counter()
-    refined, rinfo = refine_trajectory(
+    refined, rinfo = refine_full(
         poses, feats.kp, feats.desc, feats.valid, kp3d, jnp.asarray(K),
         diag_promoted=np.asarray(diag.promoted_keyframe), feat_rows=feat_rows)
     refine_wall = time.perf_counter() - t0
@@ -139,7 +139,9 @@ def main(argv=None) -> int:
         "checkpoint_written": os.path.exists(ckpt),
         "retained_feature_frames": retained,
         "retained_fraction": round(retained / F, 3),
-        "refine_windows": len(rinfo["windows"]),
+        "refine_windows": len(rinfo["ba"].get("windows", [])),
+        "refine_ran_ba": bool(rinfo["ran_ba"]),
+        "refine_loop_edges": int(rinfo["loop_edges"]),
         "refine_wall_s": round(refine_wall, 1),
         "refine_seg_trans_err_pct": round(float(res_r.seg_trans_err_pct), 3),
         "peak_host_rss_mb": round(peak_rss_mb, 1),
